@@ -1,0 +1,223 @@
+"""Pure-numpy geometry kernels (no shapely/GDAL available — SURVEY.md §7).
+
+Each kernel replicates one reference primitive bit-for-bit where the value is
+output-visible. Citations are file:line in /root/reference.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+R_MERC = 6378137.0  # WGS84 semi-major axis used by EPSG:3857
+INT16_MAX = 32767
+
+
+# ---------------------------------------------------------------- mercator
+def wgs2mercator(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """CRS84 → EPSG:3857 (osmi/GeometryHelper.hpp:15-61, closed form)."""
+    x = R_MERC * np.radians(lon)
+    y = R_MERC * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+    return x, y
+
+
+def mercator2wgs(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lon = np.degrees(x / R_MERC)
+    lat = np.degrees(2 * np.arctan(np.exp(y / R_MERC)) - np.pi / 2)
+    return lon, lat
+
+
+# ---------------------------------------------------------------- centroid
+def ring_centroid(lon: np.ndarray, lat: np.ndarray) -> tuple[float, float]:
+    """Area-weighted polygon centroid of a closed ring
+    (osmi/GeometryHelper.hpp:31-41 → OGR/GEOS Centroid; shoelace formula).
+
+    Accepts the ring with or without the repeated closing vertex.
+    Degenerate zero-area rings fall back to the length-weighted midpoint
+    (GEOS behavior for collapsed polygons).
+    """
+    if lon[0] != lon[-1] or lat[0] != lat[-1]:
+        lon = np.append(lon, lon[0])
+        lat = np.append(lat, lat[0])
+    # sequential left-to-right folds, matching the Spark Column aggregate
+    # (numpy .sum() is pairwise and would differ in final ULPs)
+    a2 = cx = cy = tot = wx = wy = 0.0
+    for i in range(len(lon) - 1):
+        x0, y0, x1, y1 = float(lon[i]), float(lat[i]), float(lon[i + 1]), float(lat[i + 1])
+        cross = x0 * y1 - x1 * y0
+        a2 += cross
+        cx += (x0 + x1) * cross
+        cy += (y0 + y1) * cross
+        seg = math.sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))
+        tot += seg
+        wx += (x0 + x1) / 2.0 * seg
+        wy += (y0 + y1) / 2.0 * seg
+    if a2 != 0.0:
+        return cx / (3.0 * a2), cy / (3.0 * a2)
+    if tot != 0.0:
+        return wx / tot, wy / tot
+    return float(lon[0]), float(lat[0])
+
+
+# ------------------------------------------------------ int16 bbox (G11/G12)
+def lat2int16(lat: float, increment: bool) -> int:
+    v = lat * INT16_MAX / 90.0  # osmi/GeometryHelper.hpp:96-103
+    return int(math.ceil(v)) if increment else int(math.floor(v))
+
+
+def lon2int16(lon: float, increment: bool) -> int:
+    v = lon * INT16_MAX / 180.0
+    return int(math.ceil(v)) if increment else int(math.floor(v))
+
+
+def int162lat(v: int) -> float:
+    return np.float32(np.float32(v) * np.float32(90) / np.float32(INT16_MAX))
+
+
+def int162lon(v: int) -> float:
+    return np.float32(np.float32(v) * np.float32(180) / np.float32(INT16_MAX))
+
+
+def is_point_near_bbox(
+    bbox_n: int, bbox_e: int, bbox_s: int, bbox_w: int, lon: float, lat: float, tol: float
+) -> bool:
+    """osmi/GeometryHelper.hpp:127-152, mirroring the C++ type promotions:
+
+    point coords and dequantized bbox edges are float32; the latitude
+    comparisons stay in float32 (`n + tolerance` is float+float); the
+    longitude comparisons promote to double because `tolerance/cos(...)` is
+    double (deg2rad<float> computes x*PI/180 via double and truncates back).
+    """
+    latf = np.float32(lat)
+    lonf = np.float32(lon)
+    n = int162lat(bbox_n)
+    e = int162lon(bbox_e)
+    s = int162lat(bbox_s)
+    w = int162lon(bbox_w)
+    tolf = np.float32(tol)
+    rad = np.float32(float(latf) * math.pi / 180.0)
+    c = math.cos(float(rad))
+    return bool(
+        latf < np.float32(n + tolf)
+        and latf > np.float32(s - tolf)
+        and float(lonf) < float(e) + float(tolf) / c
+        and float(lonf) > float(w) - float(tolf) / c
+    )
+
+
+# ------------------------------------------------- vertex distance & refine
+def min_vertex_dist(lons: np.ndarray, lats: np.ndarray, plon: float, plat: float) -> float:
+    """Degree-space distance from point to the way's *vertices*
+    (osmi/ConnectionLinePreprocessor.hpp:266-267)."""
+    return float(np.min(np.hypot(lons - plon, lats - plat)))
+
+
+def closest_vertex_idx(xs: np.ndarray, ys: np.ndarray, px: float, py: float) -> int:
+    """First index of minimal distance (strict '<' scan,
+    osmi/ConnectionLinePreprocessor.hpp:283-306)."""
+    d = np.hypot(xs - px, ys - py)
+    return int(np.argmin(d))  # argmin returns first occurrence == strict < scan
+
+
+def _closest_point_on_segment(ax, ay, bx, by, px, py) -> tuple[float, float]:
+    """Clamped scalar projection (osmi/ConnectionLinePreprocessor.hpp:343-364).
+
+    r in (0,1) is realized through OGR Value(r*length) — linear interpolation
+    along the 2-point segment, identical to a + r*(b-a) up to float order; we
+    mirror the Value() arithmetic (fraction of cumulative length).
+    """
+    denom = (bx - ax) ** 2 + (by - ay) ** 2
+    r = ((px - ax) * (bx - ax) + (py - ay) * (by - ay)) / denom
+    if r < 0:
+        return ax, ay
+    if r > 1:
+        return bx, by
+    # Value(r*L) on a single segment: a + (r*L)/L * (b-a); L cancels but the
+    # float op order in GDAL is dist/L then lerp — reproduce via r directly.
+    return ax + r * (bx - ax), ay + r * (by - ay)
+
+
+def refine_foot_point(
+    way_lons: np.ndarray, way_lats: np.ndarray, plon: float, plat: float
+) -> tuple[float, float]:
+    """Full reference refine pipeline for one matched (addr, way) pair
+    (osmi/ConnectionLinePreprocessor.hpp:147-154):
+
+    wgs→mercator both geometries; closest *vertex*; closest point on the ≤2
+    adjacent segments only (NOT the true foot point on the whole line —
+    reproduce the restriction); mercator→wgs the result.
+    """
+    xs, ys = wgs2mercator(way_lons, way_lats)
+    px, py = wgs2mercator(np.float64(plon), np.float64(plat))
+    i = closest_vertex_idx(xs, ys, px, py)
+    cx, cy = xs[i], ys[i]
+    best = (cx, cy)
+    if i > 0:
+        best = _closest_point_on_segment(cx, cy, xs[i - 1], ys[i - 1], px, py)
+        # (always at least as close as the vertex — reference takes it as-is)
+    if i < len(xs) - 1:
+        cand = _closest_point_on_segment(cx, cy, xs[i + 1], ys[i + 1], px, py)
+        if math.hypot(px - cand[0], py - cand[1]) < math.hypot(px - best[0], py - best[1]):
+            best = cand
+    blon, blat = mercator2wgs(np.float64(best[0]), np.float64(best[1]))
+    return float(blon), float(blat)
+
+
+# ---------------------------------------------------------- linear reference
+def line_length(lons: np.ndarray, lats: np.ndarray) -> float:
+    """Planar length in the current CRS (degrees here) —
+    osmi/InterpolationWriter.hpp:166 get_Length()."""
+    return float(np.hypot(np.diff(lons), np.diff(lats)).sum())
+
+
+def value_along_multi(
+    lons: np.ndarray, lats: np.ndarray, dists: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """OGRLineString::Value(dist) for a batch of distances
+    (osmi/InterpolationWriter.hpp:193-195): segment-local linear interpolation
+    dfRatio = (d - acc)/seglen; p = p0 + ratio*(p1-p0). d<=0 → first vertex;
+    past the end → last vertex. Used by both the Spark densify UDF and the
+    python oracle, so results are bit-identical."""
+    seg = np.hypot(np.diff(lons), np.diff(lats))
+    cum_end = np.cumsum(seg)
+    # first segment i with d < cum_end[i]  (strict, like GDAL's while loop)
+    idx = np.searchsorted(cum_end, dists, side="right")
+    past = idx >= len(seg)
+    i = np.where(past, 0, idx)
+    acc = cum_end[i] - seg[i]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f = (dists - acc) / seg[i]
+    out_lon = lons[i] + f * (lons[i + 1] - lons[i])
+    out_lat = lats[i] + f * (lats[i + 1] - lats[i])
+    out_lon = np.where(past, lons[-1], out_lon)
+    out_lat = np.where(past, lats[-1], out_lat)
+    neg = dists <= 0
+    out_lon = np.where(neg, lons[0], out_lon)
+    out_lat = np.where(neg, lats[0], out_lat)
+    return out_lon, out_lat
+
+
+def value_along(lons: np.ndarray, lats: np.ndarray, dist: float) -> tuple[float, float]:
+    lo, la = value_along_multi(lons, lats, np.array([dist], dtype=np.float64))
+    return float(lo[0]), float(la[0])
+
+
+# ------------------------------------------------------------ point-in-poly
+def points_in_ring(
+    lons: np.ndarray, lats: np.ndarray, ring_lon: np.ndarray, ring_lat: np.ndarray
+) -> np.ndarray:
+    """Vectorized ray-casting PIP (north-rule polygon assignment)."""
+    if ring_lon[0] != ring_lon[-1] or ring_lat[0] != ring_lat[-1]:
+        ring_lon = np.append(ring_lon, ring_lon[0])
+        ring_lat = np.append(ring_lat, ring_lat[0])
+    x0, y0 = ring_lon[:-1], ring_lat[:-1]
+    x1, y1 = ring_lon[1:], ring_lat[1:]
+    inside = np.zeros(len(lons), dtype=bool)
+    for i in range(len(x0)):
+        cond = (y0[i] > lats) != (y1[i] > lats)
+        if not cond.any():
+            continue
+        xint = (x1[i] - x0[i]) * (lats - y0[i]) / (y1[i] - y0[i]) + x0[i]
+        inside ^= cond & (lons < xint)
+    return inside

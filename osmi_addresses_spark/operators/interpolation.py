@@ -1,0 +1,263 @@
+"""addr:interpolation — validation cascade + densification
+(SURVEY.md §2.3 J7, §2.6 G13-G16; reference osmi/InterpolationWriter.hpp).
+
+The validation chain is a pure Column when-cascade (Catalyst-optimizable);
+densification (variable row fan-out with linear referencing) is a
+mapInArrow UDF over the *valid* rows only.
+
+Semantics replicated exactly, including:
+- atoi prefix parsing + the `len == floor(log10(n))+1` format check
+  (rejects junk suffixes AND leading zeros) — osmi/InterpolationWriter.hpp:132-134
+- alphabetic handling with its two early errors, which later cascade
+  branches may overwrite ("different tags on endpoints" / closed-way)
+- the error-precedence chain at :120-160
+- densification loop at :161-226 (open interval, ±1/±2 increment,
+  mirrored linear referencing for descending ranges)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import geom_sql as G
+from ..functions.geom_np import value_along_multi
+
+ADDR_KEYS = ["housenumber", "street", "postcode", "city", "country", "full", "place"]
+DIFF_KEYS = ["street", "postcode", "city", "country", "full", "place"]  # :151-157
+
+
+def _endpoint_tags(nodes: DataFrame, prefix: str) -> DataFrame:
+    """Project the 7 addr:* endpoint tags (osmi/SecondHandler.hpp:55-64);
+    AltTagList.get_value_by_key returns '' for missing keys."""
+    cols = [F.col("node_id").alias(f"{prefix}_nid")]
+    for k in ADDR_KEYS:
+        cols.append(F.coalesce(F.col("tags")[f"addr:{k}"], F.lit("")).alias(f"{prefix}_{k}"))
+    return nodes.select(*cols)
+
+
+def _atoi(raw):
+    """C atoi: optional whitespace, optional sign, digit prefix; 0 if none."""
+    return F.coalesce(
+        F.regexp_extract(raw, r"^\s*([+-]?\d+)", 1).try_cast("long"), F.lit(0)
+    )
+
+
+def interpolation_plan(ways_geo: DataFrame, nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """→ (interpolation layer rows, densified is_ip points).
+
+    ways_geo must be pre-filtered to pass-2 eligibility (nonzero length,
+    resolvable coords).
+    """
+    ip = ways_geo.filter(F.col("tags")["addr:interpolation"].isNotNull()).select(
+        "way_id",
+        "coords",
+        "lastchange",
+        F.col("tags")["addr:interpolation"].alias("typ"),
+        F.element_at("refs", 1).alias("first_ref"),
+        F.element_at("refs", -1).alias("last_ref"),
+        (F.element_at("refs", 1) == F.element_at("refs", -1)).alias("is_closed_way"),
+    )
+    ip = ip.join(_endpoint_tags(nodes, "f"), ip["first_ref"] == F.col("f_nid"), "left").drop("f_nid")
+    ip = ip.join(_endpoint_tags(nodes, "l"), ip["last_ref"] == F.col("l_nid"), "left").drop("l_nid")
+    # endpoints are always resolvable here (coords non-null ⇒ all refs exist),
+    # but keep the '' default of AltTagList for tag-less endpoint nodes
+    for p in ("f", "l"):
+        for k in ADDR_KEYS:
+            ip = ip.withColumn(f"{p}_{k}", F.coalesce(F.col(f"{p}_{k}"), F.lit("")))
+
+    first_raw = F.col("f_housenumber")
+    last_raw = F.col("l_housenumber")
+    atoi_f = _atoi(first_raw)
+    atoi_l = _atoi(last_raw)
+
+    # ---- alphabetic pre-block (:93-118) ----
+    def second_last_nonalpha(raw):
+        return (F.length(raw) >= 2) & ~raw.substr(F.length(raw) - 1, F.lit(1)).rlike("[A-Za-z]")
+
+    def last_alpha(raw):
+        return raw.substr(F.length(raw), F.lit(1)).rlike("[A-Za-z]")
+
+    alpha_block = (
+        (F.col("typ") == "alphabetic")
+        & second_last_nonalpha(first_raw)
+        & second_last_nonalpha(last_raw)
+    )
+    both_alpha = last_alpha(first_raw) & last_alpha(last_raw)
+    first_numeric = first_raw.substr(F.lit(1), F.length(first_raw) - 1)
+    last_numeric = last_raw.substr(F.lit(1), F.length(last_raw) - 1)
+    is_alpha_correct = alpha_block & both_alpha & (first_numeric == last_numeric)
+    alpha_err = (
+        F.when(alpha_block & ~both_alpha, "no alphabetic part in addr:housenumber")
+        .when(
+            alpha_block & both_alpha & (first_numeric != last_numeric),
+            "numeric parts of housenumbers not identical",
+        )
+    )
+    first_v = F.when(is_alpha_correct, F.ascii(first_raw.substr(F.length(first_raw), F.lit(1)))).otherwise(atoi_f).cast("long")
+    last_v = F.when(is_alpha_correct, F.ascii(last_raw.substr(F.length(last_raw), F.lit(1)))).otherwise(atoi_l).cast("long")
+    absdiff = F.abs(first_v - last_v)
+
+    def bad_digits(raw, v):
+        # len != floor(log10(n))+1 — evaluated only for n>0 (ANSI-safe)
+        return F.when(v > 0, F.length(raw) != (F.floor(F.log10(v.cast("double"))) + 1)).otherwise(
+            F.lit(True)
+        )
+
+    wrong_format = (
+        (first_v <= 0) | (last_v <= 0) | bad_digits(first_raw, first_v) | bad_digits(last_raw, last_v)
+    )
+    different_tags = None
+    for k in DIFF_KEYS:
+        c = F.col(f"f_{k}") != F.col(f"l_{k}")
+        different_tags = c if different_tags is None else (different_tags | c)
+
+    known = F.col("typ").isin("all", "even", "odd", "alphabetic")
+    err = (
+        F.when(~known, "unknown interpolation type")
+        .when((F.col("typ") != "alphabetic") & wrong_format, "endpoint has wrong format")
+        .when(absdiff > 1000, "range too large")
+        .when(
+            (F.col("typ").isin("even", "odd") & (absdiff == 2))
+            | ((F.col("typ") == "all") & (absdiff == 1)),
+            "needless interpolation",
+        )
+        .when((F.col("typ") == "even") & ((first_v % 2 == 1) | (last_v % 2 == 1)), "interpolation even but number odd")
+        .when((F.col("typ") == "odd") & ((first_v % 2 == 0) | (last_v % 2 == 0)), "interpolation odd but number even")
+        .when(different_tags, "different tags on endpoints")
+        .when(F.col("is_closed_way"), "interpolation is a closed way")
+        .otherwise(alpha_err)
+    )
+
+    # densify = no error ∧ (all|even|odd ∨ alphabetic-correct) (:161-165)
+    ip = ip.withColumn("error", err).withColumn(
+        "densify",
+        F.col("error").isNull()
+        & (F.col("typ").isin("all", "even", "odd") | is_alpha_correct),
+    )
+    ip = (
+        ip.withColumn("first_v", first_v)
+        .withColumn("last_v", last_v)
+        .withColumn("first_numeric", F.when(is_alpha_correct, first_numeric).otherwise(F.lit("")))
+    )
+    ip = ip.cache()
+
+    layer = ip.select(
+        G.fmt_id(F.col("way_id")).alias("way_id"),
+        F.col("typ").alias("typename"),
+        G.fmt_id(F.col("first_ref")).alias("firstid"),
+        G.fmt_id(F.col("last_ref")).alias("lastid"),
+        F.when(first_raw != "", first_raw).alias("firstno"),
+        F.when(last_raw != "", last_raw).alias("lastno"),
+        "error",
+        "lastchange",
+        F.col("coords").alias("geom"),
+    )
+
+    dense_in = ip.filter(F.col("densify")).select(
+        "way_id", "coords", "typ", "first_v", "last_v", "first_numeric",
+        "f_street", "f_postcode", "f_city", "f_country", "f_full", "f_place",
+    )
+    points = _densify(dense_in)
+    return layer, points
+
+
+_IP_SCHEMA = T.StructType(
+    [
+        T.StructField("way_id", T.LongType()),
+        T.StructField("k", T.LongType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("houseno", T.StringType()),
+        T.StructField("street", T.StringType()),
+        T.StructField("postcode", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("country", T.StringType()),
+        T.StructField("fulladdr", T.StringType()),
+        T.StructField("place", T.StringType()),
+    ]
+)
+
+
+def _densify(dense_in: DataFrame) -> DataFrame:
+    """osmi/InterpolationWriter.hpp:161-226 — emit one point per interpolated
+    house number along the line (linear referencing, mirrored when
+    descending)."""
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            if not batch.num_rows:
+                continue
+            tbl = batch.to_pydict()
+            coords_col = batch.column("coords")
+            if isinstance(coords_col, pa.ChunkedArray):
+                coords_col = coords_col.combine_chunks()
+            offs = coords_col.offsets.to_numpy().astype(np.int64)
+            base = offs[0]
+            lons_all = np.asarray(coords_col.values.field("lon"), dtype=np.float64)
+            lats_all = np.asarray(coords_col.values.field("lat"), dtype=np.float64)
+
+            out = {n.name: [] for n in _IP_SCHEMA.fields}
+            for i in range(batch.num_rows):
+                first, last, typ = tbl["first_v"][i], tbl["last_v"][i], tbl["typ"][i]
+                if first == last:
+                    continue
+                inc = 2 if typ in ("even", "odd") else 1
+                s, e = offs[i] - base, offs[i + 1] - base
+                lons, lats = lons_all[s:e], lats_all[s:e]
+                seg = np.hypot(np.diff(lons), np.diff(lats))
+                length = 0.0
+                for sv in seg:  # left-to-right fold == GDAL get_Length()
+                    length += float(sv)
+                if first < last:
+                    lower, upper = first, last
+                    frac = 1.0 / float(last - first)
+                    nrs = np.arange(first + inc, upper, inc, dtype=np.int64)
+                    dists = (nrs - lower).astype(np.float64) * frac * length
+                else:
+                    lower, upper = last, first
+                    frac = 1.0 / float(first - last)
+                    nrs = np.arange(first - inc, lower, -inc, dtype=np.int64)
+                    dists = (1.0 - ((nrs - lower).astype(np.float64) * frac)) * length
+                if not len(nrs):
+                    continue
+                plon, plat = value_along_multi(lons, lats, dists)
+                fn = tbl["first_numeric"][i]
+                for k, nr in enumerate(nrs):
+                    out["way_id"].append(tbl["way_id"][i])
+                    out["k"].append(k)
+                    out["lon"].append(plon[k])
+                    out["lat"].append(plat[k])
+                    out["houseno"].append(
+                        str(int(nr)) if typ != "alphabetic" else fn + chr(int(nr))
+                    )
+                    out["street"].append(tbl["f_street"][i])
+                    out["postcode"].append(tbl["f_postcode"][i])
+                    out["city"].append(tbl["f_city"][i])
+                    out["country"].append(tbl["f_country"][i])
+                    out["fulladdr"].append(tbl["f_full"][i])
+                    out["place"].append(tbl["f_place"][i])
+            if out["way_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out["way_id"], pa.int64()),
+                        pa.array(out["k"], pa.int64()),
+                        pa.array(out["lon"], pa.float64()),
+                        pa.array(out["lat"], pa.float64()),
+                        pa.array(out["houseno"], pa.string()),
+                        pa.array(out["street"], pa.string()),
+                        pa.array(out["postcode"], pa.string()),
+                        pa.array(out["city"], pa.string()),
+                        pa.array(out["country"], pa.string()),
+                        pa.array(out["fulladdr"], pa.string()),
+                        pa.array(out["place"], pa.string()),
+                    ],
+                    names=[f.name for f in _IP_SCHEMA.fields],
+                )
+
+    return dense_in.mapInArrow(gen, schema=_IP_SCHEMA)

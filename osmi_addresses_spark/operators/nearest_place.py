@@ -1,0 +1,46 @@
+"""J6 — nearest-place match, bug-compatible (SURVEY.md §2.3 J6).
+
+The reference's get_closest_place (osmi/ConnectionLinePreprocessor.hpp:171-209)
+never updates best_dist (fixed at MAXDIST), so every candidate strictly under
+MAXDIST *overwrites* the previous one: the winner is the LAST such candidate,
+with the wayy side scanned after (and therefore beating) the nody side.
+Frozen here as a window ordering — do not "fix" (row-equality with the
+reference depends on it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import MAXDIST
+from ..functions import geom_sql as G
+
+# addr input contract: akey, obj_type, obj_id, lookup_name, lon, lat, via
+#   via = 'street' (addr:street naming a place,
+#          osmi/ConnectionLinePreprocessor.hpp:65-69) | 'place' (addr:place)
+
+
+def match_places(addr: DataFrame, places: DataFrame) -> DataFrame:
+    """→ one row per matched (addr, via): winner point + is_nody flag."""
+    p = places.select(
+        F.col("name"),
+        F.col("is_nody"),
+        F.col("obj_seq"),
+        F.col("lon").alias("plon"),
+        F.col("lat").alias("plat"),
+    )
+    cand = addr.join(p, addr["lookup_name"] == p["name"], "inner").drop("name")
+    cand = cand.filter(
+        G.point_dist(F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat")) < F.lit(MAXDIST)
+    )
+    # last-wins: wayy side (is_nody=false) beats nody; within a side, the
+    # latest-inserted (highest osm id) wins
+    w = Window.partitionBy("akey", "via").orderBy(
+        F.col("is_nody").asc(), F.col("obj_seq").desc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "obj_seq")
+    )

@@ -1,0 +1,122 @@
+"""The flagship: addr → nearest street match (SURVEY.md §2.3 J2-J5, §2.6 G5-G8).
+
+Plan shape (all relational until the winners-only refine):
+
+    addr_points ⋈ streets ON (lookup_name = street_name AND cell = cell)
+      → exact bbox±tolerance filter  (osmi/GeometryHelper.hpp:127-152)
+      → vertex-distance (degree space, F.aggregate — JVM codegen)
+      → window argmin per addr  (dist ASC, area-before-nonarea, insertion
+        order; replicates the strict-'<' scan of
+        osmi/ConnectionLinePreprocessor.hpp:214-280)
+      → mercator foot-point refine (Arrow UDF, winners only)
+
+Skew: common names ("Hauptstraße") in dense cells are the hot keys; the join
+key is (name, cell) so hotness is bounded per cell, and AQE skew-join splits
+oversized partitions at runtime.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import MAXDIST
+from ..functions import geom_sql as G
+from ..functions.cells import cell_of
+from ..functions.geom_np import refine_foot_point
+
+# Contract for addr match input (shared with nearest_place):
+#   akey       unique key per address point
+#   obj_type   'node' | 'way' | 'ip'   (object_type, osmi/main.hpp enum)
+#   obj_id     osm id (0 for interpolated points — DUMMY_ID)
+#   lookup_name  the addr:street value being matched
+#   lon, lat   the address point (node loc / way centroid / interpolated)
+#   phase, ord1, ord2   reference scan order (nodes→ways; id; within-way step)
+
+
+def match_streets(addr: DataFrame, streets: DataFrame) -> DataFrame:
+    """→ one row per *matched* addr point, with the winning way.
+
+    Columns: addr cols + way_id, is_area, way_coords, way_lastchange, foot
+    (struct<lon,lat> — the refined connection-line endpoint).
+    """
+    a = addr.withColumn("cell", cell_of(F.col("lon"), F.col("lat")))
+    s = streets.select(
+        F.col("street_name"),
+        F.col("cell"),
+        F.col("way_id"),
+        F.col("is_area"),
+        F.col("bbox_n"),
+        F.col("bbox_e"),
+        F.col("bbox_s"),
+        F.col("bbox_w"),
+        F.col("coords").alias("way_coords"),
+        F.col("lastchange").alias("way_lastchange"),
+    )
+    cand = a.join(
+        s, (a["lookup_name"] == s["street_name"]) & (a["cell"] == s["cell"]), "inner"
+    ).drop("street_name", "cell")
+    cand = cand.filter(
+        G.is_point_near_bbox(
+            F.col("bbox_n"), F.col("bbox_e"), F.col("bbox_s"), F.col("bbox_w"),
+            F.col("lon"), F.col("lat"), MAXDIST,
+        )
+    )
+    cand = cand.withColumn(
+        "dist", G.min_vertex_dist(F.col("way_coords"), F.col("lon"), F.col("lat"))
+    )
+    # strict-'<' scan order: closer wins; ties → area side (scanned first),
+    # then insertion (way id) order
+    w = Window.partitionBy("akey").orderBy(
+        F.col("dist").asc(), F.col("is_area").desc(), F.col("way_id").asc()
+    )
+    winners = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "bbox_n", "bbox_e", "bbox_s", "bbox_w")
+    )
+    return _with_foot_point(winners)
+
+
+def _with_foot_point(winners: DataFrame) -> DataFrame:
+    """Winners-only refine: wgs→mercator, closest vertex, closest point on
+    the ≤2 adjacent segments, mercator→wgs
+    (osmi/ConnectionLinePreprocessor.hpp:147-154, 283-364)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        winners.schema.fields
+        + [StructField("foot_lon", DoubleType()), StructField("foot_lat", DoubleType())]
+    )
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            if not batch.num_rows:
+                continue
+            coords = batch.column("way_coords")
+            if isinstance(coords, pa.ChunkedArray):
+                coords = coords.combine_chunks()
+            offs = coords.offsets.to_numpy().astype(np.int64)
+            vals = coords.values
+            base = offs[0]
+            lons_all = np.asarray(vals.field("lon"), dtype=np.float64)
+            lats_all = np.asarray(vals.field("lat"), dtype=np.float64)
+            plon = np.asarray(batch.column("lon"), dtype=np.float64)
+            plat = np.asarray(batch.column("lat"), dtype=np.float64)
+            flon = np.empty(batch.num_rows)
+            flat = np.empty(batch.num_rows)
+            for i in range(batch.num_rows):
+                s, e = offs[i] - base, offs[i + 1] - base
+                flon[i], flat[i] = refine_foot_point(
+                    lons_all[s:e], lats_all[s:e], plon[i], plat[i]
+                )
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, pa.array(flon), pa.array(flat)],
+                names=[*batch.schema.names, "foot_lon", "foot_lat"],
+            )
+
+    return winners.mapInArrow(gen, schema=schema)

@@ -1,0 +1,151 @@
+"""End-to-end plan: documents → the 11 reference layers + derived views
+(SURVEY.md §3 query lifecycle, re-expressed as one DataFrame DAG).
+
+Pass 1 (index build) and pass 2 (layer emit) of the reference become shared
+cached DataFrames feeding multiple sinks; the two full file scans collapse
+into one parse + cache.
+
+Scale notes (100 TB): `entities`/`ways_geo` would be checkpointed to
+partitioned Parquet instead of memory-cached (io.table supports that); every
+join below keys on uniform ids except the (name, cell) candidate join, which
+is AQE-skew-protected and salted by cell construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import geom_sql as G
+from ..operators import layers as L
+from ..operators import views as V
+from ..operators.assembly import assemble_way_geometries
+from ..operators.interpolation import interpolation_plan
+from ..operators.nearest_place import match_places
+from ..operators.nearest_street import match_streets
+from ..operators.places import build_places_index
+from ..operators.streets import build_streets_index
+from ..sources.parser import nodes_view, parse_documents, ways_view
+
+WAY_CENTROID_ORD2 = 1 << 42  # way's own match comes after its interp points
+
+
+def run_all(spark: SparkSession, documents: DataFrame) -> dict[str, DataFrame]:
+    """Build every layer DataFrame. Lazy — callers trigger execution."""
+    entities = parse_documents(documents)
+    nodes = nodes_view(entities).cache()
+    ways = ways_view(entities)
+    ways_geo = assemble_way_geometries(ways, nodes).cache()
+
+    # pass-2 eligibility: resolvable geometry + nonzero length
+    # (osmi/SecondHandler.hpp:71, GeometryHelper.hpp:154-167)
+    ways_p2 = ways_geo.filter(
+        F.col("coords").isNotNull() & G.nonzero_length(F.col("coords"))
+    )
+    way_centroids = (
+        ways_p2.filter(G.is_closed(F.col("refs")))
+        .withColumn("centroid", G.centroid_cols(F.col("coords")))
+        .cache()
+    )
+
+    streets_index = build_streets_index(ways_geo).cache()
+    places_index = build_places_index(nodes, ways_geo.filter(F.size("refs") >= 2))
+
+    interp_layer, ip_points = interpolation_plan(ways_p2, nodes)
+    ip_points = ip_points.cache()
+
+    # ---- addr points for the street match (J3-J5) ----
+    n_street = nodes.filter(F.col("tags")["addr:street"].isNotNull()).select(
+        F.concat(F.lit("n"), F.col("node_id")).alias("akey"),
+        F.lit("node").alias("obj_type"),
+        F.col("node_id").alias("obj_id"),
+        F.col("tags")["addr:street"].alias("lookup_name"),
+        "lon",
+        "lat",
+        F.lit(0).alias("phase"),
+        F.col("node_id").alias("ord1"),
+        F.lit(0).cast("long").alias("ord2"),
+    )
+    w_street = way_centroids.filter(F.col("tags")["addr:street"].isNotNull()).select(
+        F.concat(F.lit("w"), F.col("way_id")).alias("akey"),
+        F.lit("way").alias("obj_type"),
+        F.col("way_id").alias("obj_id"),
+        F.col("tags")["addr:street"].alias("lookup_name"),
+        F.col("centroid")["lon"].alias("lon"),
+        F.col("centroid")["lat"].alias("lat"),
+        F.lit(1).alias("phase"),
+        F.col("way_id").alias("ord1"),
+        F.lit(WAY_CENTROID_ORD2).cast("long").alias("ord2"),
+    )
+    ip_street = ip_points.select(
+        F.concat(F.lit("ip/"), F.col("way_id"), F.lit("/"), F.col("k")).alias("akey"),
+        F.lit("ip").alias("obj_type"),
+        F.lit(0).cast("long").alias("obj_id"),  # DUMMY_ID
+        F.col("street").alias("lookup_name"),
+        "lon",
+        "lat",
+        F.lit(1).alias("phase"),
+        F.col("way_id").alias("ord1"),
+        F.col("k").alias("ord2"),
+    )
+    street_addr = n_street.unionByName(w_street).unionByName(ip_street)
+    street_matches = match_streets(street_addr, streets_index).cache()
+
+    # ---- addr points for the place match (J6) ----
+    n_fallback = n_street.withColumn("via", F.lit("street"))
+    n_place = nodes.filter(F.col("tags")["addr:place"].isNotNull()).select(
+        F.concat(F.lit("n"), F.col("node_id")).alias("akey"),
+        F.lit("node").alias("obj_type"),
+        F.col("node_id").alias("obj_id"),
+        F.col("tags")["addr:place"].alias("lookup_name"),
+        "lon",
+        "lat",
+        F.lit(0).alias("phase"),
+        F.col("node_id").alias("ord1"),
+        F.lit(0).cast("long").alias("ord2"),
+        F.lit("place").alias("via"),
+    )
+    w_place = way_centroids.filter(F.col("tags")["addr:place"].isNotNull()).select(
+        F.concat(F.lit("w"), F.col("way_id")).alias("akey"),
+        F.lit("way").alias("obj_type"),
+        F.col("way_id").alias("obj_id"),
+        F.col("tags")["addr:place"].alias("lookup_name"),
+        F.col("centroid")["lon"].alias("lon"),
+        F.col("centroid")["lat"].alias("lat"),
+        F.lit(1).alias("phase"),
+        F.col("way_id").alias("ord1"),
+        F.lit(WAY_CENTROID_ORD2).cast("long").alias("ord2"),
+        F.lit("place").alias("via"),
+    )
+    place_addr = n_fallback.unionByName(n_place).unionByName(w_place)
+    place_matches = match_places(place_addr, places_index).cache()
+
+    flags = L._match_flags(street_matches, place_matches)
+
+    nwa = (
+        L.nwa_node_rows(nodes, flags)
+        .unionByName(L.nwa_way_rows(way_centroids, flags))
+        .unionByName(L.nwa_ip_rows(ip_points, flags))
+    )
+
+    out: dict[str, DataFrame] = {
+        "connection_line": L.connection_line(street_matches, place_matches),
+        "nearest_points": L.nearest_points(street_matches),
+        "nearest_roads": L.nearest_roads(street_matches),
+        "nearest_areas": L.nearest_areas(street_matches),
+        "interpolation": interp_layer,
+        "nodes_with_addresses": nwa,
+        "ways_with_addresses": L.ways_with_addresses(ways_p2),
+        "ways_with_postal_code": L.ways_with_postal_code(ways_p2),
+        "entrances": L.entrances(nodes),
+        "addrx_on_nonclosed_way": L.addrx_on_nonclosed_way(ways_p2),
+        "buildings": L.buildings(spark),
+    }
+    out["nwa"] = out["nodes_with_addresses"]
+    out["no_addr_street"] = V.no_addr_street(nwa)
+    out["street_not_found"] = V.street_not_found(nwa)
+    out["place_not_found"] = V.place_not_found(nwa)
+    out["nodes_with_addresses_defined"] = V.nodes_with_addresses_defined(nwa)
+    out["nodes_with_addresses_interpolated"] = V.nodes_with_addresses_interpolated(nwa)
+    out["interpolation_errors"] = V.interpolation_errors(interp_layer)
+    return out

@@ -1,0 +1,109 @@
+"""Unit tests for the numpy geometry kernels (hand-computed values)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from osmi_addresses_spark.functions.geom_np import (
+    int162lat,
+    is_point_near_bbox,
+    lat2int16,
+    lon2int16,
+    mercator2wgs,
+    refine_foot_point,
+    ring_centroid,
+    value_along,
+    value_along_multi,
+    wgs2mercator,
+)
+
+
+def test_mercator_roundtrip():
+    lon, lat = np.array([8.78]), np.array([47.25])
+    x, y = wgs2mercator(lon, lat)
+    assert x[0] == pytest.approx(977_385.1, abs=1e3)
+    lon2, lat2 = mercator2wgs(x, y)
+    assert lon2[0] == pytest.approx(8.78, abs=1e-12)
+    assert lat2[0] == pytest.approx(47.25, abs=1e-12)
+
+
+def test_centroid_square():
+    # unit square centered at (0.5, 0.5)
+    lon = np.array([0.0, 1.0, 1.0, 0.0, 0.0])
+    lat = np.array([0.0, 0.0, 1.0, 1.0, 0.0])
+    cx, cy = ring_centroid(lon, lat)
+    assert cx == pytest.approx(0.5)
+    assert cy == pytest.approx(0.5)
+
+
+def test_centroid_l_shape():
+    # L-shape: area-weighted centroid, not vertex average
+    lon = np.array([0.0, 2.0, 2.0, 1.0, 1.0, 0.0, 0.0])
+    lat = np.array([0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 0.0])
+    cx, cy = ring_centroid(lon, lat)
+    # area = 3; two unit squares at (0.5,0.5),(1.5,0.5) and one at (0.5,1.5)
+    assert cx == pytest.approx((0.5 + 1.5 + 0.5) / 3)
+    assert cy == pytest.approx((0.5 + 0.5 + 1.5) / 3)
+
+
+def test_zero_area_centroid_fallback():
+    lon = np.array([0.0, 1.0, 0.0])
+    lat = np.array([0.0, 0.0, 0.0])
+    cx, cy = ring_centroid(lon, lat)
+    assert cx == pytest.approx(0.5)
+    assert cy == pytest.approx(0.0)
+
+
+def test_int16_quantization():
+    assert lat2int16(47.25, True) == math.ceil(47.25 * 32767 / 90)
+    assert lat2int16(47.25, False) == math.floor(47.25 * 32767 / 90)
+    assert lon2int16(-8.7, False) == math.floor(-8.7 * 32767 / 180)
+    # dequantized ceil edge is >= true value
+    assert float(int162lat(lat2int16(47.2513, True))) >= 47.2513 - 1e-6
+
+
+def test_near_bbox():
+    n = lat2int16(47.26, True)
+    s = lat2int16(47.25, False)
+    e = lon2int16(8.80, True)
+    w = lon2int16(8.78, False)
+    assert is_point_near_bbox(n, e, s, w, 8.79, 47.255, 0.01)
+    assert is_point_near_bbox(n, e, s, w, 8.79, 47.2695, 0.01)  # within lat tol
+    assert not is_point_near_bbox(n, e, s, w, 8.79, 47.28, 0.01)  # beyond lat tol
+    # lon tolerance is scaled by 1/cos(lat): 0.01/cos(47°) ≈ 0.0147
+    assert is_point_near_bbox(n, e, s, w, 8.8135, 47.255, 0.01)
+    assert not is_point_near_bbox(n, e, s, w, 8.8185, 47.255, 0.01)
+
+
+def test_value_along():
+    lons = np.array([0.0, 1.0, 1.0])
+    lats = np.array([0.0, 0.0, 1.0])
+    assert value_along(lons, lats, 0.5) == (0.5, 0.0)
+    assert value_along(lons, lats, 1.5) == (1.0, 0.5)
+    assert value_along(lons, lats, -1) == (0.0, 0.0)
+    assert value_along(lons, lats, 99) == (1.0, 1.0)
+    # exact boundary goes to the NEXT segment (strict '<' like GDAL)
+    assert value_along(lons, lats, 1.0) == (1.0, 0.0)
+    mlon, mlat = value_along_multi(lons, lats, np.array([0.25, 1.75]))
+    assert list(mlon) == [0.25, 1.0]
+    assert list(mlat) == [0.0, 0.75]
+
+
+def test_refine_foot_point_perpendicular():
+    # horizontal line at lat=0; point above the middle -> foot below point
+    lons = np.array([0.0, 1.0, 2.0])
+    lats = np.array([0.0, 0.0, 0.0])
+    flon, flat = refine_foot_point(lons, lats, 0.7, 0.1)
+    assert flat == pytest.approx(0.0, abs=1e-9)
+    assert flon == pytest.approx(0.7, abs=1e-9)
+
+
+def test_refine_restricted_to_adjacent_segments():
+    # V-shape where the true foot point is on a segment NOT adjacent to the
+    # closest vertex — the reference only checks the two adjacent segments.
+    lons = np.array([0.0, 1.0, 1.1, 5.0])
+    lats = np.array([0.0, 0.0, 5.0, 5.2])
+    flon, flat = refine_foot_point(lons, lats, 0.9, -0.01)
+    # closest vertex is (1,0); adjacent segments only
+    assert flat == pytest.approx(0.0, abs=1e-6)
