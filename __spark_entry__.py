@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(): flagship query smoke-check on /root/testdata/sf0.001.
+queries()/oracle_sql(): one entry per implemented operator family from
+SURVEY.md §2 — relational parity on the star schema, the geospatial engine
+over the committed OSM-document fixture (both Spark and the DuckDB oracle
+read the same parquet), and the training-data-pipeline operators
+(dedup / similarity / text analysis / multimodal plumbing).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osmi_addresses_spark import driver_queries as DQ  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship shape (J3+J5: equi-join + window argmin + when-cascade) on
+    the sf0.001 star schema, plus a run of the geospatial flagship on the
+    matching OSM fixture to exercise the engine end-to-end."""
+    sf_dir = "/root/testdata/sf0.001"
+    # geospatial flagship: nearest-street assignment over the OSM fixture
+    geo = DQ.g_nearest_street(spark, sf_dir)
+    n_matched = geo.count()
+    assert n_matched >= 0
+    # relational flagship on the driver tables (returned for the smoke check)
+    return DQ.q_join_argmin(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return DQ.all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return DQ.all_oracles()

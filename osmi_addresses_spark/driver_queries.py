@@ -1,0 +1,1104 @@
+"""Driver-contract query suite: every SURVEY.md §2 operator family exposed as
+a (spark, sf_dir) → DataFrame callable with a DuckDB-equivalent oracle SQL.
+
+Three families:
+- relational parity queries over the driver star schema (the operator shapes
+  of SURVEY §2.2-§2.6 re-expressed on region/…/lineitem/events),
+- geospatial queries over the committed OSM-document fixture (the engine's
+  native input; both Spark and DuckDB read the same parquet),
+- training-data-pipeline queries (dedup / similarity / text analysis /
+  multimodal) over the driver documents/embeddings tables.
+
+Column names are aliased identically on both sides; float outputs are rounded
+to fixed digits so value-hashing is stable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .fixtures.generator import write_fixture
+from .functions import geom_sql as G
+from .operators import layers as L
+from .operators.assembly import assemble_way_geometries
+from .operators.interpolation import interpolation_plan
+from .operators.nearest_place import match_places
+from .operators.nearest_street import match_streets
+from .operators.places import build_places_index
+from .operators.streets import build_streets_index
+from .sources.parser import nodes_view, parse_documents, ways_view
+
+# --------------------------------------------------------------------------
+# fixture plumbing: map the driver's sf dir to our committed OSM fixture
+# --------------------------------------------------------------------------
+_PARSED_CACHE: dict[str, dict] = {}
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return float(base.replace("sf", "")) if base.startswith("sf") else 0.01
+
+
+def fixture_path(sf_dir: str) -> str:
+    return write_fixture(sf_of(sf_dir))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def parsed(spark: SparkSession, sf_dir: str) -> dict:
+    """Parsed + assembled fixture DataFrames (cached per fixture dir)."""
+    fx = fixture_path(sf_dir)
+    if fx in _PARSED_CACHE:
+        return _PARSED_CACHE[fx]
+    docs = spark.read.parquet(os.path.join(fx, "documents.parquet"))
+    entities = parse_documents(docs)
+    nodes = nodes_view(entities).cache()
+    ways = ways_view(entities)
+    ways_geo = assemble_way_geometries(ways, nodes).cache()
+    ways_p2 = ways_geo.filter(F.col("coords").isNotNull() & G.nonzero_length(F.col("coords")))
+    d = {
+        "docs": docs,
+        "entities": entities,
+        "nodes": nodes,
+        "ways_geo": ways_geo,
+        "ways_p2": ways_p2,
+        "streets": build_streets_index(ways_geo).cache(),
+        "places": build_places_index(nodes, ways_geo.filter(F.size("refs") >= 2)),
+        "fx": fx,
+    }
+    _PARSED_CACHE[fx] = d
+    return d
+
+
+# DuckDB prefix that parses the same fixture documents (spans → entities)
+def _fx_prefix(fx: str) -> str:
+    return f"""
+WITH sp AS (
+  SELECT doc_id, UNNEST(spans) AS s
+  FROM read_parquet('{fx}/documents.parquet')
+), hdr AS (
+  SELECT doc_id, string_split(s.text, ' ') AS p FROM sp WHERE s.kind = 'header'
+), nd AS (
+  SELECT doc_id, TRY_CAST(p[2] AS BIGINT) AS node_id, TRY_CAST(p[3] AS DOUBLE) AS lat,
+         TRY_CAST(p[4] AS DOUBLE) AS lon, p[5] AS lastchange
+  FROM hdr WHERE p[1] = 'node'
+), wy AS (
+  SELECT doc_id, TRY_CAST(p[2] AS BIGINT) AS way_id, p[3] AS lastchange
+  FROM hdr WHERE p[1] = 'way'
+), tg AS (
+  SELECT doc_id, substr(s.text, 1, strpos(s.text, '=') - 1) AS k,
+         substr(s.text, strpos(s.text, '=') + 1) AS v
+  FROM sp WHERE s.kind = 'tag'
+), rf AS (
+  SELECT doc_id, TRY_CAST(s.text AS BIGINT) AS ref, s.offset AS off
+  FROM sp WHERE s.kind = 'ref'
+), wgeo AS (  -- J1 analog: refs joined to node locations, order preserved
+  SELECT w.way_id, w.lastchange,
+         list(struct_pack(lon := n.lon, lat := n.lat) ORDER BY r.off) AS coords,
+         list(r.ref ORDER BY r.off) AS refs,
+         bool_or(n.node_id IS NULL) AS dangling
+  FROM wy w JOIN rf r USING (doc_id)
+  LEFT JOIN nd n ON n.node_id = r.ref
+  GROUP BY 1, 2
+), wp2 AS (  -- pass-2 eligible: resolvable + nonzero length
+  SELECT *, refs[1] = refs[-1] AS closed
+  FROM wgeo
+  WHERE NOT dangling AND len(coords) >= 2
+    AND len(list_filter(coords, c -> c.lon != coords[1].lon OR c.lat != coords[1].lat)) > 0
+), wtag AS (
+  SELECT w.doc_id, w.way_id, t.k, t.v FROM wy w JOIN tg t USING (doc_id)
+), ntag AS (
+  SELECT n.node_id, t.k, t.v FROM nd n JOIN tg t USING (doc_id)
+)
+"""
+
+
+def _wtag_col(key: str, alias: str) -> str:
+    return (
+        f"(SELECT v FROM wtag t WHERE t.way_id = w.way_id AND t.k = '{key}') AS {alias}"
+    )
+
+
+def _ntag_col(key: str, alias: str) -> str:
+    return (
+        f"(SELECT v FROM ntag t WHERE t.node_id = n.node_id AND t.k = '{key}') AS {alias}"
+    )
+
+
+# ==========================================================================
+# family 1 — relational parity on the star schema
+# ==========================================================================
+def q_filter_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * l_discount, 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_groupby_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_GROUPBY_AGG = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_argmin(spark, sf_dir):
+    """J5 shape: per-group argmin with deterministic tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").alias("cheapest_line"),
+            F.round("l_extendedprice", 2).alias("cheapest_price"),
+        )
+    )
+
+
+SQL_JOIN_ARGMIN = """
+SELECT l_orderkey, l_linenumber AS cheapest_line,
+       ROUND(l_extendedprice, 2) AS cheapest_price
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+            ORDER BY l_extendedprice ASC, l_linenumber ASC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_theta_refine(spark, sf_dir):
+    """J4 shape: equi-join + bounded-distance theta refinement."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    return (
+        j.filter(
+            F.abs(F.col("l_extendedprice") / F.col("l_quantity") - F.col("p_retailprice"))
+            < 50.0
+        )
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_close"))
+    )
+
+
+SQL_THETA_REFINE = """
+SELECT p_brand, COUNT(*) AS n_close
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE ABS(l_extendedprice / l_quantity - p_retailprice) < 50.0
+GROUP BY p_brand
+"""
+
+
+def q_first_per_group(spark, sf_dir):
+    """A3 shape: first-write-wins dedup by scan order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+    )
+
+
+SQL_FIRST_PER_GROUP = """
+SELECT o_custkey, o_orderkey AS first_orderkey
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q_when_cascade(spark, sf_dir):
+    """G15 shape: precedence-ordered classification cascade."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") > 400000, "huge")
+        .when((F.col("o_orderstatus") == "F") & F.col("o_orderpriority").startswith("1"), "urgent-finished")
+        .when(F.year("o_orderdate") < 1995, "old")
+        .when(F.col("o_totalprice") < 1000, "tiny")
+        .otherwise("normal")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+SQL_WHEN_CASCADE = """
+SELECT CASE
+         WHEN o_totalprice > 400000 THEN 'huge'
+         WHEN o_orderstatus = 'F' AND o_orderpriority LIKE '1%' THEN 'urgent-finished'
+         WHEN EXTRACT(year FROM o_orderdate) < 1995 THEN 'old'
+         WHEN o_totalprice < 1000 THEN 'tiny'
+         ELSE 'normal'
+       END AS bucket, COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_distinct_extract(spark, sf_dir):
+    return _t(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
+
+
+SQL_DISTINCT_EXTRACT = "SELECT DISTINCT p_brand, p_type FROM part"
+
+
+def q_window_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, rank FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_event_window_agg(spark, sf_dir):
+    """Tumbling-window aggregation (batch mirror of the streaming op)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENT_WINDOW_AGG = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ==========================================================================
+# family 2 — geospatial engine queries over the OSM-document fixture
+# (both sides read the committed fixture parquet; Spark runs the engine,
+#  DuckDB re-derives the layer relationally)
+# ==========================================================================
+def g_entity_counts(spark, sf_dir):
+    d = parsed(spark, sf_dir)
+    return d["entities"].groupBy("entity").agg(F.count("*").alias("n"))
+
+
+def sql_entity_counts(fx):
+    return _fx_prefix(fx) + "SELECT p[1] AS entity, COUNT(*) AS n FROM hdr GROUP BY 1"
+
+
+def g_entrances(spark, sf_dir):
+    d = parsed(spark, sf_dir)
+    return L.entrances(d["nodes"]).drop("geom")
+
+
+def sql_entrances(fx):
+    return _fx_prefix(fx) + f"""
+SELECT CAST(n.node_id AS VARCHAR) AS node_id, n.lastchange,
+       {_ntag_col('entrance', 'entrance')}
+FROM nd n
+WHERE EXISTS (SELECT 1 FROM ntag t WHERE t.node_id = n.node_id AND
+              (t.k = 'entrance' OR (t.k = 'building' AND t.v = 'entrance')))
+"""
+
+
+def g_postal(spark, sf_dir):
+    d = parsed(spark, sf_dir)
+    return L.ways_with_postal_code(d["ways_p2"]).drop("geom")
+
+
+def sql_postal(fx):
+    return _fx_prefix(fx) + f"""
+SELECT CAST(w.way_id AS VARCHAR) AS way_id, w.lastchange,
+       {_wtag_col('postal_code', 'postalcode')}
+FROM wp2 w
+WHERE EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'postal_code')
+"""
+
+
+def g_addrx_nonclosed(spark, sf_dir):
+    d = parsed(spark, sf_dir)
+    return L.addrx_on_nonclosed_way(d["ways_p2"]).drop("geom")
+
+
+def sql_addrx_nonclosed(fx):
+    keys = ", ".join(f"'addr:{k}'" for k in L.ADDRX_KEYS)
+    return _fx_prefix(fx) + f"""
+SELECT CAST(w.way_id AS VARCHAR) AS way_id, w.lastchange
+FROM wp2 w
+WHERE NOT w.closed
+  AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k IN ({keys}))
+"""
+
+
+def g_ways_with_addresses(spark, sf_dir):
+    d = parsed(spark, sf_dir)
+    return L.ways_with_addresses(d["ways_p2"]).drop("geom")
+
+
+def sql_ways_with_addresses(fx):
+    return _fx_prefix(fx) + f"""
+SELECT CAST(w.way_id AS VARCHAR) AS way_id,
+       {_wtag_col('addr:street', 'street')},
+       {_wtag_col('addr:housenumber', 'houseno')},
+       {_wtag_col('addr:postcode', 'postcode')},
+       {_wtag_col('addr:city', 'city')},
+       {_wtag_col('addr:country', 'country')},
+       {_wtag_col('addr:full', 'fulladdr')},
+       {_wtag_col('addr:place', 'place')},
+       w.lastchange
+FROM wp2 w
+WHERE w.closed
+  AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'building')
+  AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND
+              t.k IN ('addr:street', 'addr:housenumber', 'addr:place'))
+"""
+
+
+def g_nwa_nodes(spark, sf_dir):
+    """is_ip=0 node rows, tag fields only (match flags tested by g_nearest_*)."""
+    d = parsed(spark, sf_dir)
+    n = d["nodes"]
+    pred = None
+    for k in L.ADDR7:
+        c = F.col("tags")[f"addr:{k}"].isNotNull()
+        pred = c if pred is None else (pred | c)
+    return n.filter(pred).select(
+        G.fmt_id(F.col("node_id")).alias("node_id"),
+        F.col("tags")["addr:street"].alias("street"),
+        F.col("tags")["addr:housenumber"].alias("houseno"),
+        F.col("tags")["addr:postcode"].alias("postcode"),
+        F.col("tags")["addr:city"].alias("city"),
+        F.col("tags")["addr:country"].alias("country"),
+        F.col("tags")["addr:full"].alias("fulladdr"),
+        F.col("tags")["addr:place"].alias("place"),
+        "lastchange",
+    )
+
+
+def sql_nwa_nodes(fx):
+    keys = ", ".join(
+        f"'addr:{k}'" for k in ["street", "housenumber", "postcode", "city", "country", "full", "place"]
+    )
+    return _fx_prefix(fx) + f"""
+SELECT CAST(n.node_id AS VARCHAR) AS node_id,
+       {_ntag_col('addr:street', 'street')},
+       {_ntag_col('addr:housenumber', 'houseno')},
+       {_ntag_col('addr:postcode', 'postcode')},
+       {_ntag_col('addr:city', 'city')},
+       {_ntag_col('addr:country', 'country')},
+       {_ntag_col('addr:full', 'fulladdr')},
+       {_ntag_col('addr:place', 'place')},
+       n.lastchange
+FROM nd n
+WHERE EXISTS (SELECT 1 FROM ntag t WHERE t.node_id = n.node_id AND t.k IN ({keys}))
+"""
+
+
+def g_interpolation(spark, sf_dir):
+    d = parsed(spark, sf_dir)
+    layer, _ = interpolation_plan(d["ways_p2"], d["nodes"])
+    return layer.select("way_id", "typename", "firstno", "lastno", "error")
+
+
+def _interp_ctes(fx):
+    """Shared CTE chain: fixture parse + the G13-G15 cascade up to an `err`
+    column (osmi/InterpolationWriter.hpp:79-160)."""
+    return _fx_prefix(fx) + """
+, ipw AS (
+  SELECT w.way_id,
+         (SELECT v FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'addr:interpolation') AS typ,
+         w.refs[1] AS first_ref, w.refs[-1] AS last_ref, w.closed
+  FROM wp2 w
+  WHERE EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'addr:interpolation')
+), ept AS (
+  SELECT i.way_id,
+    COALESCE((SELECT v FROM ntag t WHERE t.node_id = i.first_ref AND t.k = 'addr:housenumber'), '') AS fraw,
+    COALESCE((SELECT v FROM ntag t WHERE t.node_id = i.last_ref  AND t.k = 'addr:housenumber'), '') AS lraw,
+    COALESCE((SELECT v FROM ntag t WHERE t.node_id = i.first_ref AND t.k = 'addr:street'), '') AS fstreet,
+    COALESCE((SELECT v FROM ntag t WHERE t.node_id = i.last_ref  AND t.k = 'addr:street'), '') AS lstreet,
+    COALESCE((SELECT v FROM ntag t WHERE t.node_id = i.first_ref AND t.k = 'addr:postcode'), '') AS fpost,
+    COALESCE((SELECT v FROM ntag t WHERE t.node_id = i.last_ref  AND t.k = 'addr:postcode'), '') AS lpost,
+    COALESCE((SELECT v FROM ntag t WHERE t.node_id = i.first_ref AND t.k = 'addr:city'), '') AS fcity,
+    COALESCE((SELECT v FROM ntag t WHERE t.node_id = i.last_ref  AND t.k = 'addr:city'), '') AS lcity,
+    COALESCE((SELECT v FROM ntag t WHERE t.node_id = i.first_ref AND t.k = 'addr:country'), '') AS fctry,
+    COALESCE((SELECT v FROM ntag t WHERE t.node_id = i.last_ref  AND t.k = 'addr:country'), '') AS lctry,
+    COALESCE((SELECT v FROM ntag t WHERE t.node_id = i.first_ref AND t.k = 'addr:full'), '') AS ffull,
+    COALESCE((SELECT v FROM ntag t WHERE t.node_id = i.last_ref  AND t.k = 'addr:full'), '') AS lfull,
+    COALESCE((SELECT v FROM ntag t WHERE t.node_id = i.first_ref AND t.k = 'addr:place'), '') AS fplace,
+    COALESCE((SELECT v FROM ntag t WHERE t.node_id = i.last_ref  AND t.k = 'addr:place'), '') AS lplace
+  FROM ipw i
+), calc AS (
+  SELECT i.way_id, i.typ, e.fraw, e.lraw, i.closed,
+    COALESCE(TRY_CAST(regexp_extract(e.fraw, '^\\s*([+-]?\\d+)', 1) AS BIGINT), 0) AS atoi_f,
+    COALESCE(TRY_CAST(regexp_extract(e.lraw, '^\\s*([+-]?\\d+)', 1) AS BIGINT), 0) AS atoi_l,
+    (i.typ = 'alphabetic' AND length(e.fraw) >= 2 AND length(e.lraw) >= 2
+     AND NOT regexp_matches(substr(e.fraw, length(e.fraw)-1, 1), '[A-Za-z]')
+     AND NOT regexp_matches(substr(e.lraw, length(e.lraw)-1, 1), '[A-Za-z]')) AS alpha_block,
+    regexp_matches(substr(e.fraw, length(e.fraw), 1), '[A-Za-z]')
+      AND regexp_matches(substr(e.lraw, length(e.lraw), 1), '[A-Za-z]') AS both_alpha,
+    substr(e.fraw, 1, length(e.fraw)-1) AS fnum,
+    substr(e.lraw, 1, length(e.lraw)-1) AS lnum,
+    e.fstreet != e.lstreet OR e.fpost != e.lpost OR e.fcity != e.lcity
+      OR e.fctry != e.lctry OR e.ffull != e.lfull OR e.fplace != e.lplace AS diff_tags
+  FROM ipw i JOIN ept e USING (way_id)
+), calc2 AS (
+  SELECT *,
+    alpha_block AND both_alpha AND fnum = lnum AS is_correct,
+    CASE WHEN alpha_block AND NOT both_alpha THEN 'no alphabetic part in addr:housenumber'
+         WHEN alpha_block AND both_alpha AND fnum != lnum THEN 'numeric parts of housenumbers not identical'
+    END AS alpha_err,
+    CASE WHEN alpha_block AND both_alpha AND fnum = lnum
+         THEN ascii(substr(fraw, length(fraw), 1)) ELSE atoi_f END AS fv,
+    CASE WHEN alpha_block AND both_alpha AND fnum = lnum
+         THEN ascii(substr(lraw, length(lraw), 1)) ELSE atoi_l END AS lv
+  FROM calc
+), calc3 AS (
+  SELECT *,
+    CASE
+      WHEN typ NOT IN ('all','even','odd','alphabetic') THEN 'unknown interpolation type'
+      WHEN typ != 'alphabetic' AND (fv <= 0 OR lv <= 0
+           OR length(fraw) != floor(log10(CASE WHEN fv > 0 THEN fv ELSE 1 END)) + 1
+           OR length(lraw) != floor(log10(CASE WHEN lv > 0 THEN lv ELSE 1 END)) + 1)
+        THEN 'endpoint has wrong format'
+      WHEN abs(fv - lv) > 1000 THEN 'range too large'
+      WHEN (typ IN ('even','odd') AND abs(fv - lv) = 2) OR (typ = 'all' AND abs(fv - lv) = 1)
+        THEN 'needless interpolation'
+      WHEN typ = 'even' AND (fv % 2 = 1 OR lv % 2 = 1) THEN 'interpolation even but number odd'
+      WHEN typ = 'odd' AND (fv % 2 = 0 OR lv % 2 = 0) THEN 'interpolation odd but number even'
+      WHEN diff_tags THEN 'different tags on endpoints'
+      WHEN closed THEN 'interpolation is a closed way'
+      ELSE alpha_err
+    END AS err
+  FROM calc2
+)
+"""
+
+
+def sql_interpolation(fx):
+    return _interp_ctes(fx) + """
+SELECT CAST(way_id AS VARCHAR) AS way_id, typ AS typename,
+       CASE WHEN fraw != '' THEN fraw END AS firstno,
+       CASE WHEN lraw != '' THEN lraw END AS lastno,
+       err AS error
+FROM calc3
+"""
+
+
+def g_nearest_street(spark, sf_dir):
+    """Flagship join output — node addr points only (SQL-checkable core)."""
+    d = parsed(spark, sf_dir)
+    n = d["nodes"].filter(F.col("tags")["addr:street"].isNotNull()).select(
+        F.concat(F.lit("n"), F.col("node_id")).alias("akey"),
+        F.lit("node").alias("obj_type"),
+        F.col("node_id").alias("obj_id"),
+        F.col("tags")["addr:street"].alias("lookup_name"),
+        "lon", "lat",
+        F.lit(0).alias("phase"),
+        F.col("node_id").alias("ord1"),
+        F.lit(0).cast("long").alias("ord2"),
+    )
+    m = match_streets(n, d["streets"])
+    return m.select(
+        G.fmt_id(F.col("obj_id")).alias("node_id"),
+        G.fmt_id(F.col("way_id")).alias("way_id"),
+        F.col("is_area").cast("int").alias("is_area"),
+    )
+
+
+def sql_nearest_street(fx):
+    """Vertex-distance argmin with area-first strict-< tie-break, in SQL.
+
+    The bbox prefilter uses the int16-quantized edges in double math (the
+    float32 rounding of the engine is ~1e-7 — fixture margins are >1e-4).
+    """
+    return _fx_prefix(fx) + """
+, hw AS (
+  SELECT w.way_id, w.coords,
+    list_max(list_transform(w.coords, c -> c.lat)) AS bn,
+    list_max(list_transform(w.coords, c -> c.lon)) AS be,
+    list_min(list_transform(w.coords, c -> c.lat)) AS bs,
+    list_min(list_transform(w.coords, c -> c.lon)) AS bw,
+    (SELECT t.v FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'area')
+        IN ('yes','true') AND w.refs[1] = w.refs[-1] AS is_area
+  FROM wgeo w
+  WHERE NOT w.dangling AND len(w.refs) >= 2
+    AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'highway')
+), hwn AS (
+  SELECT DISTINCT h.way_id, h.coords, h.is_area, t.v AS street_name,
+    ceil(h.bn*32767/90)*90/32767 AS dn, ceil(h.be*32767/180)*180/32767 AS de,
+    floor(h.bs*32767/90)*90/32767 AS ds, floor(h.bw*32767/180)*180/32767 AS dw
+  FROM hw h JOIN wtag t ON t.way_id = h.way_id
+  WHERE t.k IN ('name','name:left','name:right','alt_name','official_name','short_name','ref')
+), ad AS (
+  SELECT n.node_id, n.lon, n.lat, t.v AS street
+  FROM nd n JOIN ntag t ON t.node_id = n.node_id AND t.k = 'addr:street'
+), cand AS (
+  SELECT a.node_id, h.way_id, h.is_area,
+    list_min(list_transform(h.coords,
+        c -> sqrt((c.lon-a.lon)*(c.lon-a.lon)+(c.lat-a.lat)*(c.lat-a.lat)))) AS dist
+  FROM ad a JOIN hwn h ON h.street_name = a.street
+  WHERE a.lat < h.dn + 0.01 AND a.lat > h.ds - 0.01
+    AND a.lon < h.de + 0.01/cos(radians(a.lat))
+    AND a.lon > h.dw - 0.01/cos(radians(a.lat))
+)
+SELECT CAST(node_id AS VARCHAR) AS node_id, CAST(way_id AS VARCHAR) AS way_id,
+       CAST(is_area AS INT) AS is_area
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY node_id
+            ORDER BY dist ASC, is_area DESC, way_id ASC) AS rn
+  FROM cand
+) WHERE rn = 1
+"""
+
+
+def g_nearest_place(spark, sf_dir):
+    """J6 winner (bug-compatible) for node addr points, both vias."""
+    d = parsed(spark, sf_dir)
+    nodes = d["nodes"]
+    base_cols = [
+        F.concat(F.lit("n"), F.col("node_id")).alias("akey"),
+        F.lit("node").alias("obj_type"),
+        F.col("node_id").alias("obj_id"),
+        "lon", "lat",
+        F.lit(0).alias("phase"),
+        F.col("node_id").alias("ord1"),
+        F.lit(0).cast("long").alias("ord2"),
+    ]
+    n_s = nodes.filter(F.col("tags")["addr:street"].isNotNull()).select(
+        F.col("tags")["addr:street"].alias("lookup_name"), *base_cols, F.lit("street").alias("via")
+    )
+    n_p = nodes.filter(F.col("tags")["addr:place"].isNotNull()).select(
+        F.col("tags")["addr:place"].alias("lookup_name"), *base_cols, F.lit("place").alias("via")
+    )
+    m = match_places(n_s.unionByName(n_p), d["places"])
+    return m.select(
+        G.fmt_id(F.col("obj_id")).alias("node_id"),
+        "via",
+        F.col("is_nody").cast("int").alias("is_nody"),
+    )
+
+
+def sql_nearest_place(fx):
+    return _fx_prefix(fx) + """
+, pl_nody AS (
+  SELECT n.node_id AS obj_seq, n.lon, n.lat, t.v AS name, TRUE AS is_nody
+  FROM nd n JOIN ntag t ON t.node_id = n.node_id AND t.k = 'name'
+  WHERE EXISTS (SELECT 1 FROM ntag t2 WHERE t2.node_id = n.node_id AND t2.k = 'place')
+), ring AS (
+  SELECT w.way_id, w.coords,
+    list_zip(w.coords[1:len(w.coords)-1], w.coords[2:len(w.coords)]) AS prs
+  FROM wgeo w
+  WHERE NOT w.dangling AND len(w.refs) >= 2 AND w.refs[1] = w.refs[-1]
+    AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'place')
+    AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'name')
+), cent AS (
+  SELECT way_id, coords,
+    list_sum(list_transform(prs, p -> p[1].lon*p[2].lat - p[2].lon*p[1].lat)) AS a2,
+    list_sum(list_transform(prs, p -> (p[1].lon+p[2].lon)*(p[1].lon*p[2].lat - p[2].lon*p[1].lat))) AS cx,
+    list_sum(list_transform(prs, p -> (p[1].lat+p[2].lat)*(p[1].lon*p[2].lat - p[2].lon*p[1].lat))) AS cy
+  FROM ring
+), pl_wayy AS (
+  SELECT c.way_id AS obj_seq, c.cx/(3*c.a2) AS lon, c.cy/(3*c.a2) AS lat,
+         t.v AS name, FALSE AS is_nody
+  FROM cent c JOIN wtag t ON t.way_id = c.way_id AND t.k = 'name'
+  WHERE c.a2 != 0
+), pl AS (
+  SELECT * FROM pl_nody UNION ALL SELECT * FROM pl_wayy
+), ad AS (
+  SELECT n.node_id, n.lon, n.lat, t.v AS lookup_name,
+         CASE t.k WHEN 'addr:street' THEN 'street' ELSE 'place' END AS via
+  FROM nd n JOIN ntag t ON t.node_id = n.node_id AND t.k IN ('addr:street','addr:place')
+), cand AS (
+  SELECT a.node_id, a.via, p.is_nody, p.obj_seq
+  FROM ad a JOIN pl p ON p.name = a.lookup_name
+  WHERE sqrt((p.lon-a.lon)*(p.lon-a.lon)+(p.lat-a.lat)*(p.lat-a.lat)) < 0.01
+)
+SELECT CAST(node_id AS VARCHAR) AS node_id, via, CAST(is_nody AS INT) AS is_nody
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY node_id, via
+            ORDER BY is_nody ASC, obj_seq DESC) AS rn
+  FROM cand
+) WHERE rn = 1
+"""
+
+
+def g_interp_points(spark, sf_dir):
+    """G16 densification summary: per valid interp way, point count and
+    house-number range (SQL-checkable without float positions)."""
+    d = parsed(spark, sf_dir)
+    _, pts = interpolation_plan(d["ways_p2"], d["nodes"])
+    return pts.groupBy("way_id").agg(
+        F.count("*").alias("n_points"),
+        F.min("houseno").alias("min_no"),
+        F.max("houseno").alias("max_no"),
+    ).select(G.fmt_id(F.col("way_id")).alias("way_id"), "n_points", "min_no", "max_no")
+
+
+def sql_interp_points(fx):
+    """Regenerate the house-number sequences with range() + UNNEST."""
+    return _interp_ctes(fx) + """
+, valid AS (
+  SELECT way_id, typ, fv, lv, fnum,
+    CASE WHEN typ IN ('even','odd') THEN 2 ELSE 1 END AS inc
+  FROM calc3
+  WHERE err IS NULL AND (typ IN ('all','even','odd') OR is_correct) AND fv != lv
+), seqs AS (
+  SELECT v.way_id, v.typ, v.fnum, t.nr
+  FROM valid v, LATERAL UNNEST(
+    CASE WHEN v.fv < v.lv
+         THEN range(v.fv + v.inc, v.lv, v.inc)
+         ELSE range(v.fv - v.inc, v.lv, -v.inc) END) AS t(nr)
+)
+SELECT CAST(way_id AS VARCHAR) AS way_id, COUNT(*) AS n_points,
+       MIN(CASE WHEN typ = 'alphabetic' THEN fnum || chr(CAST(nr AS INT)) ELSE CAST(nr AS VARCHAR) END) AS min_no,
+       MAX(CASE WHEN typ = 'alphabetic' THEN fnum || chr(CAST(nr AS INT)) ELSE CAST(nr AS VARCHAR) END) AS max_no
+FROM seqs GROUP BY 1
+"""
+
+# ==========================================================================
+# family 3 — training-data pipeline ops (dedup / similarity / text / media)
+# ==========================================================================
+def d_exact_dedup(spark, sf_dir):
+    """Exact dedup via content hash groups (hash-groupBy; scales to any size
+    since the shuffle key is the digest)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.encode("text", "utf-8")).alias("h"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS h, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc
+FROM documents GROUP BY 1
+"""
+
+
+def d_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard near-dup pairs within a language bucket —
+    the shuffle key is (gram, lang): LSH-style candidate generation."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+                    lambda i: F.col("text").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.lang") == F.col("b.lang")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = common.join(sa, "doc_a").join(sb, "doc_b")
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return j.filter(jac >= 0.35).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g
+  FROM documents, LATERAL UNNEST(range(1, GREATEST(length(text) - 2, 1) + 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM grams a JOIN grams b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common / (sa.sz + sb.sz - common) >= 0.35
+"""
+
+
+def d_minhash_lsh(spark, sf_dir):
+    """MinHash (16 perms) + banding (4 bands × 4 rows) candidate pairs.
+
+    No SQL oracle: the hash function is Spark's xxhash64 (not available in
+    DuckDB) — the driver records a rows-only check; Jaccard ground truth is
+    cross-checked by d_ngram_jaccard.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
+                    lambda i: F.col("text").substr(i, F.lit(5)),
+                )
+            )
+        ).alias("g"),
+    )
+    sigs = grams.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("g"), F.lit(j))).alias(f"h{j}") for j in range(16)]
+    )
+    bands = None
+    for b in range(4):
+        band = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * 4 + r}") for r in range(4)]).alias("bucket"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    pairs = (
+        a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def s_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per query vector (the exact baseline; the
+    LSH-bucketed variant is q=ann_lsh)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    j = q.crossJoin(c).filter(F.col("q_id") != F.col("n_id"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = dot(F.col("qv"), F.col("nv")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("nv"), F.col("nv")))
+    )
+    j = j.withColumn("score", F.round(cos, 6))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id", "rank", "score")
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+s AS (
+  SELECT q_id, n_id,
+    ROUND(
+      list_sum(list_transform(list_zip(qv, nv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(nv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS score
+  FROM q, c WHERE q_id != n_id
+)
+SELECT q_id, n_id, rank, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+def t_quality(spark, sf_dir):
+    """Text-quality scoring: token count, punctuation ratio, bucket."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    q = (
+        F.when(toks < 5, "too_short")
+        .when(punct * 4 > toks, "punct_heavy")
+        .otherwise("ok")
+    )
+    return d.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        punct.alias("n_punct"),
+        q.alias("quality"),
+    )
+
+
+SQL_QUALITY = r"""
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+  CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 5 THEN 'too_short'
+       WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 4
+            > len(regexp_split_to_array(trim(text), '\s+')) THEN 'punct_heavy'
+       ELSE 'ok' END AS quality
+FROM documents
+"""
+
+
+_LANG_MARKERS = {"en": " the ", "de": " und ", "fr": " les ", "es": " que ", "zh": "的"}
+
+
+def t_lang_id(spark, sf_dir):
+    """Marker-token language ID heuristic; ties → marker-key order."""
+    d = _t(spark, sf_dir, "documents")
+    body = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scores = {
+        lang: (F.length(body) - F.length(F.replace(body, F.lit(m)))) / len(m)
+        for lang, m in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    guess = F.lit("unknown")
+    for lang in reversed(_LANG_MARKERS):
+        guess = F.when((best > 0) & (scores[lang] == best), lang).otherwise(guess)
+    return d.select("doc_id", "lang", guess.alias("guess"))
+
+
+def _sql_lang_scores():
+    parts = []
+    for lang, m in _LANG_MARKERS.items():
+        parts.append(
+            f"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '{m}', ''))) / {len(m)} AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+SQL_LANG_ID = f"""
+WITH s AS (SELECT doc_id, lang, {_sql_lang_scores()} FROM documents),
+g AS (SELECT *, GREATEST(s_en, s_de, s_fr, s_es, s_zh) AS best FROM s)
+SELECT doc_id, lang,
+  CASE WHEN best <= 0 THEN 'unknown'
+       WHEN s_en = best THEN 'en'
+       WHEN s_de = best THEN 'de'
+       WHEN s_fr = best THEN 'fr'
+       WHEN s_es = best THEN 'es'
+       ELSE 'zh' END AS guess
+FROM g
+"""
+
+
+def t_fingerprint(spark, sf_dir):
+    """Polynomial rolling-hash fingerprint of the first 64 chars
+    (mod 999999937 so both engines stay in exact int64 range)."""
+    d = _t(spark, sf_dir, "documents")
+    prefix_len = F.least(F.length("text"), F.lit(64))
+    fp = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(prefix_len, F.lit(1))),
+            lambda i: F.ascii(F.col("text").substr(i, F.lit(1))).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % 999999937,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, GREATEST(LEAST(length(text), 64), 1) + 1),
+                     i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % 999999937) AS fingerprint
+FROM documents
+"""
+
+
+def m_media_refs(spark, sf_dir):
+    """Multimodal plumbing: per document, the media spans carried losslessly
+    through parsing (decode itself is stubbed — see operators/media.py)."""
+    d = parsed(spark, sf_dir)
+    e = d["entities"]
+    media = F.filter(F.col("noise"), lambda s: s["kind"] == "media")
+    return (
+        e.filter(F.size(media) > 0)
+        .select(
+            "doc_id",
+            F.size(media).alias("n_media"),
+            F.array_join(F.transform(media, lambda s: s["media_ref"]), ",").alias("refs"),
+        )
+    )
+
+
+def sql_media_refs(fx):
+    return f"""
+WITH sp AS (
+  SELECT doc_id, UNNEST(spans) AS s
+  FROM read_parquet('{fx}/documents.parquet')
+), m AS (
+  SELECT doc_id, s.media_ref, s.offset FROM sp WHERE s.kind = 'media'
+)
+SELECT doc_id, COUNT(*) AS n_media,
+       string_agg(media_ref, ',' ORDER BY "offset") AS refs
+FROM m GROUP BY 1
+"""
+
+
+# ==========================================================================
+# registry
+# ==========================================================================
+def all_queries():
+    qs = {
+        "filter_project": q_filter_project,
+        "groupby_agg": q_groupby_agg,
+        "join_argmin": q_join_argmin,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "theta_refine": q_theta_refine,
+        "first_per_group": q_first_per_group,
+        "when_cascade": q_when_cascade,
+        "distinct_extract": q_distinct_extract,
+        "window_topk": q_window_topk,
+        "event_window_agg": q_event_window_agg,
+        "geo_entity_counts": g_entity_counts,
+        "geo_entrances": g_entrances,
+        "geo_ways_with_postal_code": g_postal,
+        "geo_addrx_on_nonclosed_way": g_addrx_nonclosed,
+        "geo_ways_with_addresses": g_ways_with_addresses,
+        "geo_nwa_nodes": g_nwa_nodes,
+        "geo_interpolation": g_interpolation,
+        "geo_nearest_street": g_nearest_street,
+        "geo_nearest_place": g_nearest_place,
+        "geo_interp_points": g_interp_points,
+        "dedup_exact": d_exact_dedup,
+        "dedup_ngram_jaccard": d_ngram_jaccard,
+        "dedup_minhash_lsh": d_minhash_lsh,
+        "ann_topk": s_ann_topk,
+        "text_quality": t_quality,
+        "text_lang_id": t_lang_id,
+        "text_fingerprint": t_fingerprint,
+        "media_refs": m_media_refs,
+    }
+    return qs
+
+
+def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    fx = fixture_path(sf_dir)
+    return {
+        "filter_project": SQL_FILTER_PROJECT,
+        "groupby_agg": SQL_GROUPBY_AGG,
+        "join_argmin": SQL_JOIN_ARGMIN,
+        "semi_join": SQL_SEMI_JOIN,
+        "anti_join": SQL_ANTI_JOIN,
+        "theta_refine": SQL_THETA_REFINE,
+        "first_per_group": SQL_FIRST_PER_GROUP,
+        "when_cascade": SQL_WHEN_CASCADE,
+        "distinct_extract": SQL_DISTINCT_EXTRACT,
+        "window_topk": SQL_WINDOW_TOPK,
+        "event_window_agg": SQL_EVENT_WINDOW_AGG,
+        "geo_entity_counts": sql_entity_counts(fx),
+        "geo_entrances": sql_entrances(fx),
+        "geo_ways_with_postal_code": sql_postal(fx),
+        "geo_addrx_on_nonclosed_way": sql_addrx_nonclosed(fx),
+        "geo_ways_with_addresses": sql_ways_with_addresses(fx),
+        "geo_nwa_nodes": sql_nwa_nodes(fx),
+        "geo_interpolation": sql_interpolation(fx),
+        "geo_nearest_street": sql_nearest_street(fx),
+        "geo_nearest_place": sql_nearest_place(fx),
+        "geo_interp_points": sql_interp_points(fx),
+        "dedup_exact": SQL_EXACT_DEDUP,
+        "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+        # dedup_minhash_lsh: intentionally no oracle (engine-specific hash)
+        "ann_topk": SQL_ANN_TOPK,
+        "text_quality": SQL_QUALITY,
+        "text_lang_id": SQL_LANG_ID,
+        "text_fingerprint": SQL_FINGERPRINT,
+        "media_refs": sql_media_refs(fx),
+    }

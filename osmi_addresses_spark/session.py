@@ -30,6 +30,8 @@ DEFAULT_CONF = {
     # broadcast automatically; big fact-fact joins stay shuffle.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",
+    # deterministic timestamp semantics for the DuckDB oracle comparisons
+    "spark.sql.session.timeZone": "UTC",
     "spark.driver.extraJavaOptions": "-Djava.net.preferIPv6Addresses=false",
 }
 
