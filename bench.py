@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "addresses validated/sec", "value": N, "unit": "sec",
+   "queries": {name: seconds, ...}, "sf": SF, ...}
+
+The headline metric (BASELINE.json) is addresses validated per second —
+address points (nodes + building centroids + interpolated points) driven
+through the full nearest-street/place pipeline, divided by the end-to-end
+wall time (parse → matches → nodes_with_addresses).
+
+Run with SPARK_GRAFT_SCALING=1 to also run the N-vs-4N-cores scaling
+evidence (see scaling_bench.py for the standalone version).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: str, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from osmi_addresses_spark.driver_queries import (
+        d_ngram_jaccard,
+        s_ann_topk,
+        sf_of,
+    )
+    from osmi_addresses_spark.fixtures.generator import write_fixture
+    from osmi_addresses_spark.plans.pipeline import run_all
+    from osmi_addresses_spark.session import get_spark
+
+    sf = sf_of(sf_dir)
+    fx = write_fixture(sf)
+    spark = get_spark(f"bench-{cpus}", cores=cpus, shuffle_partitions=max(int(cpus), 8))
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    docs = spark.read.parquet(os.path.join(fx, "documents.parquet"))
+
+    t_start = time.time()
+    layers = run_all(spark, docs)
+
+    t0 = time.time()
+    counts["nodes_with_addresses"] = layers["nodes_with_addresses"].count()
+    timings["e2e_nwa"] = time.time() - t0  # pays parse+assemble+match+interp
+
+    for name in ["connection_line", "nearest_points", "nearest_roads",
+                 "nearest_areas", "interpolation", "ways_with_addresses",
+                 "entrances", "street_not_found", "place_not_found"]:
+        t0 = time.time()
+        counts[name] = layers[name].count()
+        timings[name] = time.time() - t0
+    t_pipeline = time.time() - t_start
+
+    # training-data ops on the driver tables
+    t0 = time.time()
+    counts["dedup_ngram_pairs"] = d_ngram_jaccard(spark, sf_dir).count()
+    timings["dedup_ngram_jaccard"] = time.time() - t0
+    t0 = time.time()
+    counts["ann_topk"] = s_ann_topk(spark, sf_dir).count()
+    timings["ann_topk"] = time.time() - t0
+
+    n_validated = counts["nodes_with_addresses"]
+    result = {
+        "metric": "addresses validated/sec",
+        "value": round(n_validated / t_pipeline, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": int(cpus),
+        "n_validated": n_validated,
+        "pipeline_sec": round(t_pipeline, 3),
+        "counts": counts,
+    }
+    spark.stop()
+    return result
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    result = run_bench(cpus, sf_dir)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
