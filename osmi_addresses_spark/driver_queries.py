@@ -56,8 +56,8 @@ def parsed(spark: SparkSession, sf_dir: str) -> dict:
     if fx in _PARSED_CACHE:
         return _PARSED_CACHE[fx]
     docs = spark.read.parquet(os.path.join(fx, "documents.parquet"))
-    entities = parse_documents(docs)
-    nodes = nodes_view(entities).cache()
+    entities = parse_documents(docs).cache()
+    nodes = nodes_view(entities)
     ways = ways_view(entities)
     ways_geo = assemble_way_geometries(ways, nodes).cache()
     ways_p2 = ways_geo.filter(F.col("coords").isNotNull() & G.nonzero_length(F.col("coords")))
@@ -763,7 +763,12 @@ FROM documents GROUP BY 1
 
 def d_ngram_jaccard(spark, sf_dir):
     """Character-3-gram Jaccard near-dup pairs within a language bucket —
-    the shuffle key is (gram, lang): LSH-style candidate generation."""
+    the shuffle key is (gram, lang): LSH-style candidate generation.
+
+    Estimated Jaccard over a deterministic 1/4 hash-sample of the gram space
+    (md5 first hex char < '4') — same sampling in the DuckDB oracle; this is
+    the sparsification that keeps the gram self-join linear in near-dup mass
+    at scale."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     grams = d.select(
         "doc_id",
@@ -776,7 +781,7 @@ def d_ngram_jaccard(spark, sf_dir):
                 )
             )
         ).alias("g"),
-    ).distinct()
+    ).filter(F.substring(F.md5(F.encode("g", "utf-8")), 1, 1) < "4").distinct()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -797,8 +802,10 @@ def d_ngram_jaccard(spark, sf_dir):
 
 SQL_NGRAM_JACCARD = """
 WITH grams AS (
-  SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g
-  FROM documents, LATERAL UNNEST(range(1, GREATEST(length(text) - 2, 1) + 1)) AS t(i)
+  SELECT DISTINCT doc_id, lang, g FROM (
+    SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g
+    FROM documents, LATERAL UNNEST(range(1, GREATEST(length(text) - 2, 1) + 1)) AS t(i)
+  ) WHERE substr(md5(g), 1, 1) < '4'
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1
 ), common AS (

@@ -63,8 +63,17 @@ def interpolation_plan(ways_geo: DataFrame, nodes: DataFrame) -> tuple[DataFrame
         F.element_at("refs", -1).alias("last_ref"),
         (F.element_at("refs", 1) == F.element_at("refs", -1)).alias("is_closed_way"),
     )
-    ip = ip.join(_endpoint_tags(nodes, "f"), ip["first_ref"] == F.col("f_nid"), "left").drop("f_nid")
-    ip = ip.join(_endpoint_tags(nodes, "l"), ip["last_ref"] == F.col("l_nid"), "left").drop("l_nid")
+    # addr_interpolation_node_set analog (osmi/main.cpp:59): prune the node
+    # table to endpoint ids before the tag joins — the endpoint set is tiny
+    # relative to all nodes (two ids per interpolation way)
+    ep_ids = (
+        ip.select(F.col("first_ref").alias("node_id"))
+        .unionByName(ip.select(F.col("last_ref").alias("node_id")))
+        .distinct()
+    )
+    ep_nodes = nodes.join(F.broadcast(ep_ids), "node_id", "left_semi")
+    ip = ip.join(_endpoint_tags(ep_nodes, "f"), ip["first_ref"] == F.col("f_nid"), "left").drop("f_nid")
+    ip = ip.join(_endpoint_tags(ep_nodes, "l"), ip["last_ref"] == F.col("l_nid"), "left").drop("l_nid")
     # endpoints are always resolvable here (coords non-null ⇒ all refs exist),
     # but keep the '' default of AltTagList for tag-less endpoint nodes
     for p in ("f", "l"):

@@ -32,8 +32,10 @@ WAY_CENTROID_ORD2 = 1 << 42  # way's own match comes after its interp points
 
 def run_all(spark: SparkSession, documents: DataFrame) -> dict[str, DataFrame]:
     """Build every layer DataFrame. Lazy — callers trigger execution."""
-    entities = parse_documents(documents)
-    nodes = nodes_view(entities).cache()
+    # one parse, one in-memory copy: both entity views share the cached scan
+    # (at 100 TB this cache becomes a checkpoint to partitioned parquet)
+    entities = parse_documents(documents).drop("tags_kv", "noise").cache()
+    nodes = nodes_view(entities)
     ways = ways_view(entities)
     ways_geo = assemble_way_geometries(ways, nodes).cache()
 
@@ -122,10 +124,12 @@ def run_all(spark: SparkSession, documents: DataFrame) -> dict[str, DataFrame]:
 
     flags = L._match_flags(street_matches, place_matches)
 
+    # cached: five derived views + the base layer all read it
     nwa = (
         L.nwa_node_rows(nodes, flags)
         .unionByName(L.nwa_way_rows(way_centroids, flags))
         .unionByName(L.nwa_ip_rows(ip_points, flags))
+        .cache()
     )
 
     out: dict[str, DataFrame] = {
