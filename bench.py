@@ -36,36 +36,51 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
     from osmi_addresses_spark.plans.pipeline import run_all
     from osmi_addresses_spark.session import get_spark
 
-    sf = sf_of(sf_dir)
+    sf = float(os.environ.get("SPARK_GRAFT_FIXTURE_SF", sf_of(sf_dir)))
     fx = write_fixture(sf)
+    pipeline_only = os.environ.get("SPARK_GRAFT_BENCH_ONLY_PIPELINE") == "1"
     spark = get_spark(f"bench-{cpus}", cores=cpus, shuffle_partitions=max(int(cpus), 8))
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
     docs = spark.read.parquet(os.path.join(fx, "documents.parquet"))
 
+    import shutil
+    import tempfile
+
+    from osmi_addresses_spark.io.table import TableStore
+
+    workdir = tempfile.mkdtemp(prefix="osmi_bench_")
+    store = TableStore(workdir)
+
     t_start = time.time()
-    layers = run_all(spark, docs)
+    layers = run_all(spark, docs, store=store, source_path=fx)
 
     t0 = time.time()
     counts["nodes_with_addresses"] = layers["nodes_with_addresses"].count()
     timings["e2e_nwa"] = time.time() - t0  # pays parse+assemble+match+interp
 
-    for name in ["connection_line", "nearest_points", "nearest_roads",
-                 "nearest_areas", "interpolation", "ways_with_addresses",
-                 "entrances", "street_not_found", "place_not_found"]:
-        t0 = time.time()
-        counts[name] = layers[name].count()
-        timings[name] = time.time() - t0
+    # remaining layers materialize concurrently (as concurrent sinks would)
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["connection_line", "nearest_points", "nearest_roads",
+             "nearest_areas", "interpolation", "ways_with_addresses",
+             "entrances", "street_not_found", "place_not_found"]
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=len(names)) as ex:
+        for name, n in zip(names, ex.map(lambda nm: layers[nm].count(), names)):
+            counts[name] = n
+    timings["other_layers_concurrent"] = time.time() - t0
     t_pipeline = time.time() - t_start
 
-    # training-data ops on the driver tables
-    t0 = time.time()
-    counts["dedup_ngram_pairs"] = d_ngram_jaccard(spark, sf_dir).count()
-    timings["dedup_ngram_jaccard"] = time.time() - t0
-    t0 = time.time()
-    counts["ann_topk"] = s_ann_topk(spark, sf_dir).count()
-    timings["ann_topk"] = time.time() - t0
+    if not pipeline_only:
+        # training-data ops on the driver tables
+        t0 = time.time()
+        counts["dedup_ngram_pairs"] = d_ngram_jaccard(spark, sf_dir).count()
+        timings["dedup_ngram_jaccard"] = time.time() - t0
+        t0 = time.time()
+        counts["ann_topk"] = s_ann_topk(spark, sf_dir).count()
+        timings["ann_topk"] = time.time() - t0
 
     n_validated = counts["nodes_with_addresses"]
     result = {
@@ -80,6 +95,7 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
         "counts": counts,
     }
     spark.stop()
+    shutil.rmtree(workdir, ignore_errors=True)
     return result
 
 

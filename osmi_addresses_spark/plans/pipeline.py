@@ -30,11 +30,30 @@ from ..sources.parser import nodes_view, parse_documents, ways_view
 WAY_CENTROID_ORD2 = 1 << 42  # way's own match comes after its interp points
 
 
-def run_all(spark: SparkSession, documents: DataFrame) -> dict[str, DataFrame]:
-    """Build every layer DataFrame. Lazy — callers trigger execution."""
-    # one parse, one in-memory copy: both entity views share the cached scan
-    # (at 100 TB this cache becomes a checkpoint to partitioned parquet)
-    entities = parse_documents(documents).drop("tags_kv", "noise").cache()
+def run_all(
+    spark: SparkSession,
+    documents: DataFrame,
+    store=None,
+    source_path: str | None = None,
+) -> dict[str, DataFrame]:
+    """Build every layer DataFrame. Lazy — callers trigger execution.
+
+    With a TableStore, the parsed entities are checkpointed to parquet
+    partitioned by entity type: every downstream consumer gets a
+    column-pruned, partition-pruned scan instead of an in-memory cache that
+    AQE's concurrent stage materialization would rebuild several times.
+    This is the 100 TB configuration; the cache path is for small inputs.
+    """
+    if store is not None:
+        store.write_once(
+            "entities",
+            lambda: parse_documents(documents).drop("tags_kv", "noise"),
+            source_path=source_path,
+            partition_by=["entity"],
+        )
+        entities = store.read(spark, "entities")
+    else:
+        entities = parse_documents(documents).drop("tags_kv", "noise").cache()
     nodes = nodes_view(entities)
     ways = ways_view(entities)
     ways_geo = assemble_way_geometries(ways, nodes).cache()

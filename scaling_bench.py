@@ -18,10 +18,16 @@ import sys
 
 
 def run_at(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_ONLY_PIPELINE="1",
+        SPARK_GRAFT_FIXTURE_SF=os.environ.get("SPARK_GRAFT_FIXTURE_SF", "1.0"),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
-        env=env, capture_output=True, text=True, timeout=1800,
+        env=env, capture_output=True, text=True, timeout=3600,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
@@ -36,7 +42,8 @@ def main():
     thr_hi = r_hi["value"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     result = {
-        "sf": r_lo["sf"],
+        "fixture_sf": r_lo["sf"],
+        "n_validated": r_lo["n_validated"],
         "cores_lo": lo,
         "cores_hi": hi,
         "throughput_lo": thr_lo,
