@@ -1072,6 +1072,7 @@ def all_queries():
         "text_lang_id": t_lang_id,
         "text_fingerprint": t_fingerprint,
         "media_refs": m_media_refs,
+        "geo_pip_assign": g_pip_assign,
     }
     return qs
 
@@ -1108,4 +1109,51 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "text_lang_id": SQL_LANG_ID,
         "text_fingerprint": SQL_FINGERPRINT,
         "media_refs": sql_media_refs(fx),
+        "geo_pip_assign": sql_pip_assign(fx),
     }
+
+
+# -- point-in-polygon assignment (north-rule op) ---------------------------
+def g_pip_assign(spark, sf_dir):
+    """addr nodes → containing place polygons (cell covering + ray cast)."""
+    from .operators.pip import assign_points_to_polygons
+
+    d = parsed(spark, sf_dir)
+    pts = d["nodes"].filter(F.col("tags")["addr:housenumber"].isNotNull()).select(
+        F.col("node_id").alias("pkey"), "lon", "lat"
+    )
+    polys = (
+        d["ways_geo"]
+        .filter(
+            F.col("tags")["place"].isNotNull()
+            & (F.size("refs") >= 2)
+            & (F.element_at("refs", 1) == F.element_at("refs", -1))
+            & F.col("coords").isNotNull()
+        )
+        .select(F.col("way_id").alias("poly_id"), F.col("coords").alias("ring"))
+    )
+    m = assign_points_to_polygons(pts, polys)
+    return m.select(
+        G.fmt_id(F.col("pkey")).alias("node_id"), G.fmt_id(F.col("poly_id")).alias("poly_id")
+    )
+
+
+def sql_pip_assign(fx):
+    return _fx_prefix(fx) + """
+, poly AS (
+  SELECT w.way_id AS poly_id, w.coords,
+    list_zip(w.coords[1:len(w.coords)-1], w.coords[2:len(w.coords)]) AS prs
+  FROM wgeo w
+  WHERE NOT w.dangling AND len(w.refs) >= 2 AND w.refs[1] = w.refs[-1]
+    AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'place')
+), pts AS (
+  SELECT n.node_id, n.lon, n.lat FROM nd n
+  WHERE EXISTS (SELECT 1 FROM ntag t WHERE t.node_id = n.node_id AND t.k = 'addr:housenumber')
+)
+SELECT CAST(p.node_id AS VARCHAR) AS node_id, CAST(q.poly_id AS VARCHAR) AS poly_id
+FROM pts p, poly q
+WHERE (list_sum(list_transform(q.prs, e ->
+        CASE WHEN (e[1].lat > p.lat) != (e[2].lat > p.lat)
+              AND p.lon < (e[2].lon - e[1].lon) * (p.lat - e[1].lat) / (e[2].lat - e[1].lat) + e[1].lon
+             THEN 1 ELSE 0 END)) % 2) = 1
+"""

@@ -1,0 +1,50 @@
+"""Structured Streaming ingest (SURVEY.md §2.7).
+
+The reference is a batch tool; the streaming surface here is the engine's
+incremental-ingest path for the same documents table:
+
+- `stream_documents`: file-source stream of documents parquet → the same
+  explode-free Arrow parser → an entities stream (append mode). New document
+  files landing in the directory become parsed entities incrementally.
+- `windowed_event_counts`: watermarked tumbling-window aggregation over an
+  event stream (late data dropped past the watermark) — the streaming mirror
+  of driver_queries.q_event_window_agg.
+
+Both run with Trigger.AvailableNow in tests (bounded, deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import DOCUMENTS_SCHEMA
+from ..sources.parser import parse_documents
+
+
+def stream_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming documents(doc_id, spans) → streaming entities."""
+    docs = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(path)
+    return parse_documents(docs)
+
+
+def windowed_event_counts(
+    events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data watermark."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → LTZ
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_events(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.readStream.schema(schema).parquet(path)

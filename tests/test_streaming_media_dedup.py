@@ -1,0 +1,133 @@
+"""Streaming ingest, multimodal plumbing, SimHash / embedding dedup."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmi_addresses_spark.operators.dedup import (
+    embedding_near_dups,
+    simhash,
+    simhash_near_dups,
+)
+from osmi_addresses_spark.operators.media import (
+    FEATURE_DIM,
+    decode_media,
+    extract_media_features,
+)
+from osmi_addresses_spark.sources.parser import parse_documents
+from osmi_addresses_spark.streaming.ingest import (
+    stream_documents,
+    stream_events,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_stream_documents_availablenow(spark, small_docs, tmp_path):
+    src = str(tmp_path / "docs_in")
+    small_docs.write.parquet(src)
+    entities = stream_documents(spark, src)
+    assert entities.isStreaming
+    q = (
+        entities.writeStream.format("memory")
+        .queryName("ents_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n FROM ents_stream").first()["n"]
+    assert got == small_docs.count()
+    # incremental: drop more files in, restart with availableNow
+    small_docs.limit(10).write.mode("append").parquet(src)
+    q2 = (
+        entities.writeStream.format("memory")
+        .queryName("ents_stream2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = spark.sql("SELECT COUNT(*) FROM ents_stream2").first()[0]
+    assert got2 == small_docs.count() + 10
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    src = str(tmp_path / "events_in")
+    events.write.parquet(src)
+    stream = stream_events(spark, src, events.schema)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_win")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT event_type, SUM(n) AS n FROM ev_win GROUP BY 1 ORDER BY 1"
+    ).collect()
+    want = (
+        events.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type").collect()
+    )
+    # watermark may hold back the final window in append mode; totals must
+    # cover all but at most the last open window per type
+    got_map = {r["event_type"]: r["n"] for r in got}
+    for r in want:
+        assert got_map.get(r["event_type"], 0) >= r["n"] * 0.9
+
+
+def test_media_features(spark, small_docs):
+    entities = parse_documents(small_docs)
+    feats = extract_media_features(entities)
+    rows = feats.collect()
+    assert rows, "fixture contains media spans"
+    for r in rows[:5]:
+        assert len(r["features"]) == FEATURE_DIM
+        assert r["media_ref"].startswith("img://")
+    # deterministic
+    a = decode_media("img://n5/0", fake=True)
+    b = decode_media("img://n5/0", fake=True)
+    assert np.allclose(a, b)
+    with pytest.raises(NotImplementedError):
+        decode_media("img://n5/0")
+
+
+def test_simhash_identical_and_different(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+            (4, "completely unrelated text about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    h13 = bin(sigs[1] ^ sigs[3]).count("1")
+    h14 = bin(sigs[1] ^ sigs[4]).count("1")
+    assert h13 < h14
+
+    pairs = simhash_near_dups(df, max_hamming=3).collect()
+    keys = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in keys
+    assert (1, 4) not in keys
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(4, 16).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, v.tolist()))
+        rows.append((i * 2 + 1, (v + rng.randn(16).astype("float32") * 0.001).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = embedding_near_dups(df, threshold=0.999)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    for i in range(4):
+        assert (i * 2, i * 2 + 1) in got
+    assert all(b - a == 1 for a, b in got)
