@@ -407,23 +407,71 @@ def fixture_dir(sf: float, root: str = "/root/repo/fixtures") -> str:
     return os.path.join(root, f"osm_sf{sf:g}_v{GEN_VERSION}")
 
 
+def generate_world_chunk(
+    towns: range, n_towns: int, seed: int, with_far: bool, n_mass_per_town: int
+) -> World:
+    """Chunk of towns (ids are town-local, so chunking is order-independent)."""
+    world = World()
+    if with_far:
+        far_nid = 900_000_001
+        world.nodes.append({"id": far_nid, "lat": LAT0, "lon": LON0 - 1.0, "tags": {}, "ts": _ts(far_nid)})
+        world.nodes.append({"id": far_nid + 1, "lat": LAT0, "lon": LON0 - 0.999, "tags": {}, "ts": _ts(far_nid + 1)})
+        world.nodes.append(
+            {"id": far_nid + 2, "lat": LAT0, "lon": LON0 - 0.998, "tags": {"place": "village", "name": "FernDorf"}, "ts": _ts(far_nid + 2)}
+        )
+        world.ways.append(
+            {"id": 900_000_001, "refs": [far_nid, far_nid + 1], "tags": {"highway": "residential", "name": "Fernstraße"}, "ts": _ts(900_000_001)}
+        )
+    for t in towns:
+        rng = np.random.RandomState(seed + t)
+        _TownBuilder(world, t, n_towns, rng).build(n_mass_per_town)
+    world.nodes.sort(key=lambda n: n["id"])
+    world.ways.sort(key=lambda w: w["id"])
+    return world
+
+
 def write_fixture(sf: float, out_dir: str | None = None, seed: int = 42) -> str:
-    """Generate (if absent) the documents parquet for a scale factor."""
+    """Generate (if absent) the documents parquet for a scale factor.
+
+    Chunked by groups of towns so generation memory stays flat at any sf
+    (the per-town id blocks make chunking order-independent)."""
     out_dir = out_dir or fixture_dir(sf)
     marker = os.path.join(out_dir, "meta.json")
     if os.path.exists(marker):
         return out_dir
-    world = generate_world(sf, seed=seed)
-    tbl = world_to_documents(world)
+    n_towns = max(1, int(round(sf * 1000)))
+    chunk = 50
     os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"), row_group_size=16384)
+    writer = None
+    n_docs = n_nodes = n_ways = 0
+    try:
+        for start in range(0, n_towns, chunk):
+            world = generate_world_chunk(
+                range(start, min(start + chunk, n_towns)),
+                n_towns,
+                seed,
+                with_far=(start == 0),
+                n_mass_per_town=1200,
+            )
+            tbl = world_to_documents(world)
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    os.path.join(out_dir, "documents.parquet"), tbl.schema
+                )
+            writer.write_table(tbl, row_group_size=16384)
+            n_docs += tbl.num_rows
+            n_nodes += len(world.nodes)
+            n_ways += len(world.ways)
+    finally:
+        if writer is not None:
+            writer.close()
     meta = {
         "sf": sf,
         "seed": seed,
         "gen_version": GEN_VERSION,
-        "n_docs": tbl.num_rows,
-        "n_nodes": len(world.nodes),
-        "n_ways": len(world.ways),
+        "n_docs": n_docs,
+        "n_nodes": n_nodes,
+        "n_ways": n_ways,
     }
     with open(marker, "w") as f:
         json.dump(meta, f, indent=1)
