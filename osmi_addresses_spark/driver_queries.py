@@ -1073,6 +1073,7 @@ def all_queries():
         "text_fingerprint": t_fingerprint,
         "media_refs": m_media_refs,
         "geo_pip_assign": g_pip_assign,
+        "geo_street_not_found": g_street_not_found,
     }
     return qs
 
@@ -1110,6 +1111,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "text_fingerprint": SQL_FINGERPRINT,
         "media_refs": sql_media_refs(fx),
         "geo_pip_assign": sql_pip_assign(fx),
+        "geo_street_not_found": sql_street_not_found(fx),
     }
 
 
@@ -1156,4 +1158,112 @@ WHERE (list_sum(list_transform(q.prs, e ->
         CASE WHEN (e[1].lat > p.lat) != (e[2].lat > p.lat)
               AND p.lon < (e[2].lon - e[1].lon) * (p.lat - e[1].lat) / (e[2].lat - e[1].lat) + e[1].lon
              THEN 1 ELSE 0 END)) % 2) = 1
+"""
+
+
+# -- derived anti-join view (F13/J8): street_not_found over node rows ------
+def g_street_not_found(spark, sf_dir):
+    """Nodes whose addr:street matched neither a highway (bbox-reachable)
+    nor a place — the mapserver street_not_found view restricted to node
+    rows (way centroids excluded so the oracle stays node-joined)."""
+    d = parsed(spark, sf_dir)
+    nodes = d["nodes"]
+    n_street = nodes.filter(
+        F.coalesce(F.col("tags")["addr:street"], F.lit("")) != ""
+    ).select(
+        F.concat(F.lit("n"), F.col("node_id")).alias("akey"),
+        F.lit("node").alias("obj_type"),
+        F.col("node_id").alias("obj_id"),
+        F.col("tags")["addr:street"].alias("lookup_name"),
+        "lon", "lat",
+        F.lit(0).alias("phase"),
+        F.col("node_id").alias("ord1"),
+        F.lit(0).cast("long").alias("ord2"),
+    )
+    sm = match_streets(n_street, d["streets"]).select("akey").distinct()
+    n_place = nodes.filter(F.col("tags")["addr:place"].isNotNull()).select(
+        F.concat(F.lit("n"), F.col("node_id")).alias("akey"),
+        F.lit("node").alias("obj_type"),
+        F.col("node_id").alias("obj_id"),
+        F.col("tags")["addr:place"].alias("lookup_name"),
+        "lon", "lat",
+        F.lit(0).alias("phase"),
+        F.col("node_id").alias("ord1"),
+        F.lit(0).cast("long").alias("ord2"),
+        F.lit("place").alias("via"),
+    )
+    pm = match_places(
+        n_street.withColumn("via", F.lit("street")).unionByName(n_place), d["places"]
+    ).select("akey").distinct()
+    return (
+        n_street.join(sm, "akey", "left_anti")
+        .join(pm, "akey", "left_anti")
+        .select(
+            G.fmt_id(F.col("obj_id")).alias("node_id"),
+            F.col("lookup_name").alias("street"),
+        )
+    )
+
+
+def sql_street_not_found(fx):
+    return _fx_prefix(fx) + """
+, hw AS (
+  SELECT w.way_id, w.coords,
+    list_max(list_transform(w.coords, c -> c.lat)) AS bn,
+    list_max(list_transform(w.coords, c -> c.lon)) AS be,
+    list_min(list_transform(w.coords, c -> c.lat)) AS bs,
+    list_min(list_transform(w.coords, c -> c.lon)) AS bw
+  FROM wgeo w
+  WHERE NOT w.dangling AND len(w.refs) >= 2
+    AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'highway')
+), hwn AS (
+  SELECT DISTINCT h.way_id, t.v AS street_name,
+    ceil(h.bn*32767/90)*90/32767 AS dn, ceil(h.be*32767/180)*180/32767 AS de,
+    floor(h.bs*32767/90)*90/32767 AS ds, floor(h.bw*32767/180)*180/32767 AS dw
+  FROM hw h JOIN wtag t ON t.way_id = h.way_id
+  WHERE t.k IN ('name','name:left','name:right','alt_name','official_name','short_name','ref')
+), ad AS (
+  SELECT n.node_id, n.lon, n.lat, t.v AS street
+  FROM nd n JOIN ntag t ON t.node_id = n.node_id AND t.k = 'addr:street'
+  WHERE t.v != ''
+), matched_street AS (
+  SELECT DISTINCT a.node_id
+  FROM ad a JOIN hwn h ON h.street_name = a.street
+  WHERE a.lat < h.dn + 0.01 AND a.lat > h.ds - 0.01
+    AND a.lon < h.de + 0.01/cos(radians(a.lat))
+    AND a.lon > h.dw - 0.01/cos(radians(a.lat))
+), pl_nody AS (
+  SELECT n.lon, n.lat, t.v AS name FROM nd n
+  JOIN ntag t ON t.node_id = n.node_id AND t.k = 'name'
+  WHERE EXISTS (SELECT 1 FROM ntag t2 WHERE t2.node_id = n.node_id AND t2.k = 'place')
+), ring AS (
+  SELECT w.way_id, list_zip(w.coords[1:len(w.coords)-1], w.coords[2:len(w.coords)]) AS prs
+  FROM wgeo w
+  WHERE NOT w.dangling AND len(w.refs) >= 2 AND w.refs[1] = w.refs[-1]
+    AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'place')
+    AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'name')
+), cent AS (
+  SELECT way_id,
+    list_sum(list_transform(prs, p -> p[1].lon*p[2].lat - p[2].lon*p[1].lat)) AS a2,
+    list_sum(list_transform(prs, p -> (p[1].lon+p[2].lon)*(p[1].lon*p[2].lat - p[2].lon*p[1].lat))) AS cx,
+    list_sum(list_transform(prs, p -> (p[1].lat+p[2].lat)*(p[1].lon*p[2].lat - p[2].lon*p[1].lat))) AS cy
+  FROM ring
+), pl AS (
+  SELECT lon, lat, name FROM pl_nody
+  UNION ALL
+  SELECT c.cx/(3*c.a2), c.cy/(3*c.a2), t.v
+  FROM cent c JOIN wtag t ON t.way_id = c.way_id AND t.k = 'name'
+  WHERE c.a2 != 0
+), adp AS (
+  SELECT n.node_id, n.lon, n.lat, t.v AS lookup_name
+  FROM nd n JOIN ntag t ON t.node_id = n.node_id AND t.k IN ('addr:street','addr:place')
+), matched_place AS (
+  SELECT DISTINCT a.node_id
+  FROM adp a JOIN pl p ON p.name = a.lookup_name
+  WHERE sqrt((p.lon-a.lon)*(p.lon-a.lon)+(p.lat-a.lat)*(p.lat-a.lat)) < 0.01
+)
+SELECT CAST(a.node_id AS VARCHAR) AS node_id, a.street
+FROM ad a
+WHERE a.node_id NOT IN (SELECT node_id FROM matched_street)
+  AND a.node_id NOT IN (SELECT node_id FROM matched_place)
 """

@@ -172,3 +172,27 @@ def run_all(
     out["nodes_with_addresses_interpolated"] = V.nodes_with_addresses_interpolated(nwa)
     out["interpolation_errors"] = V.interpolation_errors(interp_layer)
     return out
+
+
+def write_layers(layers: dict[str, DataFrame], store, layer_names=None) -> dict[str, str]:
+    """S3/S5 — layer sinks: one committed table per layer (SpatiaLite-file
+    analog), clustered by grid cell within files so min/max parquet column
+    stats replace the reference's deferred R-tree build
+    (create_spatial_indices.sh:19-37). Transaction batching (osmi/Writer.hpp:
+    83-91) maps to parquet row groups; the manifest is the commit."""
+    from ..functions.cells import cell_of
+    from ..schemas import LAYER_NAMES
+
+    paths = {}
+    for name in layer_names or LAYER_NAMES:
+        df = layers[name]
+        if "geom" in df.columns:
+            g = df.schema["geom"].dataType.typeName()
+            if g == "struct":
+                sort_cell = cell_of(F.col("geom.lon"), F.col("geom.lat"))
+            else:
+                first = F.element_at("geom", 1)
+                sort_cell = cell_of(first["lon"], first["lat"])
+            df = df.withColumn("_cell", sort_cell).sortWithinPartitions("_cell").drop("_cell")
+        paths[name] = store.write(f"layer_{name}", df)
+    return paths
