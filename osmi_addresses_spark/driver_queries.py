@@ -1074,6 +1074,8 @@ def all_queries():
         "media_refs": m_media_refs,
         "geo_pip_assign": g_pip_assign,
         "geo_street_not_found": g_street_not_found,
+        "dedup_simhash": d_simhash,
+        "dedup_embedding_cosine": d_embedding_near_dup,
     }
     return qs
 
@@ -1267,3 +1269,16 @@ FROM ad a
 WHERE a.node_id NOT IN (SELECT node_id FROM matched_street)
   AND a.node_id NOT IN (SELECT node_id FROM matched_place)
 """
+
+
+# -- SimHash / embedding near-dup (rows-only: engine-specific hash/LSH) ----
+def d_simhash(spark, sf_dir):
+    from .operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def d_embedding_near_dup(spark, sf_dir):
+    from .operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.98)
