@@ -138,30 +138,87 @@ def _closest_point_on_segment(ax, ay, bx, by, px, py) -> tuple[float, float]:
     return ax + r * (bx - ax), ay + r * (by - ay)
 
 
+def refine_foot_points_batch(
+    flat_lons: np.ndarray,
+    flat_lats: np.ndarray,
+    offsets: np.ndarray,  # len = n_rows + 1, row i owns [offsets[i], offsets[i+1])
+    plon: np.ndarray,
+    plat: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized reference refine pipeline for a batch of matched
+    (addr, way) pairs (osmi/ConnectionLinePreprocessor.hpp:147-154):
+
+    wgs→mercator both geometries; closest *vertex* (first minimal — the
+    strict-'<' scan at :283-306); closest point on the ≤2 adjacent segments
+    only (NOT the true foot point, :309-338); mercator→wgs.
+
+    Degenerate zero-length adjacent segments return the segment's b endpoint
+    (GDAL Value(NaN) walks past every segment and yields the last point).
+    """
+    n_rows = len(plon)
+    lengths = np.diff(offsets)
+    xs, ys = wgs2mercator(flat_lons, flat_lats)
+    px, py = wgs2mercator(plon, plat)
+    px_r = np.repeat(px, lengths)
+    py_r = np.repeat(py, lengths)
+    d = np.hypot(xs - px_r, ys - py_r)
+    starts = offsets[:-1]
+    dmin = np.minimum.reduceat(d, starts)
+    # first index achieving the min per row (== strict-'<' scan order)
+    idx_all = np.arange(len(d), dtype=np.int64)
+    masked = np.where(d == np.repeat(dmin, lengths), idx_all, np.iinfo(np.int64).max)
+    i = np.minimum.reduceat(masked, starts)  # global flat index of closest vertex
+
+    cx, cy = xs[i], ys[i]
+    local = i - starts
+
+    def seg_closest(bx, by):
+        # closest point on segment (closest vertex) -> neighbor, clamped
+        ax, ay = cx, cy
+        denom = (bx - ax) ** 2 + (by - ay) ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = ((px - ax) * (bx - ax) + (py - ay) * (by - ay)) / denom
+        ox = np.where(r < 0, ax, np.where(r > 1, bx, ax + r * (bx - ax)))
+        oy = np.where(r < 0, ay, np.where(r > 1, by, ay + r * (by - ay)))
+        # degenerate segment (denom==0): GDAL Value(NaN) yields endpoint b
+        ox = np.where(denom == 0, bx, ox)
+        oy = np.where(denom == 0, by, oy)
+        return ox, oy
+
+    has_prev = local > 0
+    has_next = local < (lengths - 1)
+    prev_i = np.where(has_prev, i - 1, i)
+    next_i = np.where(has_next, i + 1, i)
+
+    bx, by = cx.copy(), cy.copy()
+    lx, ly = seg_closest(xs[prev_i], ys[prev_i])
+    # the left-segment result is taken unconditionally when it exists (:324-329)
+    bx = np.where(has_prev, lx, bx)
+    by = np.where(has_prev, ly, by)
+    rx, ry = seg_closest(xs[next_i], ys[next_i])
+    closer = np.hypot(px - rx, py - ry) < np.hypot(px - bx, py - by)
+    take_r = has_next & closer
+    bx = np.where(take_r, rx, bx)
+    by = np.where(take_r, ry, by)
+
+    if n_rows == 0:
+        return np.empty(0), np.empty(0)
+    return mercator2wgs(bx, by)
+
+
 def refine_foot_point(
     way_lons: np.ndarray, way_lats: np.ndarray, plon: float, plat: float
 ) -> tuple[float, float]:
-    """Full reference refine pipeline for one matched (addr, way) pair
-    (osmi/ConnectionLinePreprocessor.hpp:147-154):
-
-    wgs→mercator both geometries; closest *vertex*; closest point on the ≤2
-    adjacent segments only (NOT the true foot point on the whole line —
-    reproduce the restriction); mercator→wgs the result.
-    """
-    xs, ys = wgs2mercator(way_lons, way_lats)
-    px, py = wgs2mercator(np.float64(plon), np.float64(plat))
-    i = closest_vertex_idx(xs, ys, px, py)
-    cx, cy = xs[i], ys[i]
-    best = (cx, cy)
-    if i > 0:
-        best = _closest_point_on_segment(cx, cy, xs[i - 1], ys[i - 1], px, py)
-        # (always at least as close as the vertex — reference takes it as-is)
-    if i < len(xs) - 1:
-        cand = _closest_point_on_segment(cx, cy, xs[i + 1], ys[i + 1], px, py)
-        if math.hypot(px - cand[0], py - cand[1]) < math.hypot(px - best[0], py - best[1]):
-            best = cand
-    blon, blat = mercator2wgs(np.float64(best[0]), np.float64(best[1]))
-    return float(blon), float(blat)
+    """Scalar wrapper over the batch kernel (identical float ops)."""
+    offsets = np.array([0, len(way_lons)], dtype=np.int64)
+    lo, la = refine_foot_points_batch(
+        np.asarray(way_lons, dtype=np.float64),
+        np.asarray(way_lats, dtype=np.float64),
+        offsets,
+        np.array([plon]),
+        np.array([plat]),
+    )
+    return float(lo[0]), float(la[0])
 
 
 # ---------------------------------------------------------- linear reference

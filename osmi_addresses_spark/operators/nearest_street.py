@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from .. import MAXDIST
 from ..functions import geom_sql as G
 from ..functions.cells import cell_of
-from ..functions.geom_np import refine_foot_point
+from ..functions.geom_np import refine_foot_points_batch
 
 # Contract for addr match input (shared with nearest_place):
 #   akey       unique key per address point
@@ -103,17 +103,14 @@ def _with_foot_point(winners: DataFrame) -> DataFrame:
             offs = coords.offsets.to_numpy().astype(np.int64)
             vals = coords.values
             base = offs[0]
+            # the values buffer may be shared/sliced: restrict to this batch
+            vals = vals.slice(base, offs[-1] - base)
+            offs = offs - base
             lons_all = np.asarray(vals.field("lon"), dtype=np.float64)
             lats_all = np.asarray(vals.field("lat"), dtype=np.float64)
             plon = np.asarray(batch.column("lon"), dtype=np.float64)
             plat = np.asarray(batch.column("lat"), dtype=np.float64)
-            flon = np.empty(batch.num_rows)
-            flat = np.empty(batch.num_rows)
-            for i in range(batch.num_rows):
-                s, e = offs[i] - base, offs[i + 1] - base
-                flon[i], flat[i] = refine_foot_point(
-                    lons_all[s:e], lats_all[s:e], plon[i], plat[i]
-                )
+            flon, flat = refine_foot_points_batch(lons_all, lats_all, offs, plon, plat)
             yield pa.RecordBatch.from_arrays(
                 [*batch.columns, pa.array(flon), pa.array(flat)],
                 names=[*batch.schema.names, "foot_lon", "foot_lat"],
