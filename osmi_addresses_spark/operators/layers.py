@@ -138,38 +138,46 @@ def _first_match_per_way(matches: DataFrame) -> DataFrame:
     return matches.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
 
 
-def nearest_roads(street_matches: DataFrame) -> DataFrame:
-    m = _first_match_per_way(street_matches.filter(~F.col("is_area")))
-    return m.select(
+def _nearest_ways_layer(street_matches: DataFrame, ways_geo: DataFrame, area: bool) -> DataFrame:
+    m = _first_match_per_way(
+        street_matches.filter(F.col("is_area") if area else ~F.col("is_area"))
+    ).select("way_id", "lookup_name", "way_lastchange")
+    geoms = ways_geo.select("way_id", "coords")
+    return m.join(geoms, "way_id").select(
         G.fmt_id(F.col("way_id")).alias("way_id"),
         F.col("lookup_name").alias("name"),
         F.col("way_lastchange").alias("lastchange"),
-        F.col("way_coords").alias("geom"),
+        F.col("coords").alias("geom"),
     )
 
 
-def nearest_areas(street_matches: DataFrame) -> DataFrame:
-    m = _first_match_per_way(street_matches.filter(F.col("is_area")))
-    return m.select(
-        G.fmt_id(F.col("way_id")).alias("way_id"),
-        F.col("lookup_name").alias("name"),
-        F.col("way_lastchange").alias("lastchange"),
-        F.col("way_coords").alias("geom"),
-    )
+def nearest_roads(street_matches: DataFrame, ways_geo: DataFrame) -> DataFrame:
+    return _nearest_ways_layer(street_matches, ways_geo, area=False)
+
+
+def nearest_areas(street_matches: DataFrame, ways_geo: DataFrame) -> DataFrame:
+    return _nearest_ways_layer(street_matches, ways_geo, area=True)
 
 
 # ------------------------------------------------------ nodes_with_addresses
 def _match_flags(street_matches: DataFrame, place_matches: DataFrame) -> DataFrame:
     """Per akey: road_id / nody_place_id / wayy_place_id out-params
     (osmi/SecondHandler.hpp:45-49; values are the literal '1',
-    osmi/ConnectionLinePreprocessor.hpp:125-129,166)."""
-    r = street_matches.select("akey", F.lit("1").alias("road_id"))
-    p = place_matches.groupBy("akey").agg(
-        F.max(F.when(F.col("is_nody"), "1")).alias("nody_place_id"),
-        F.max(F.when(~F.col("is_nody"), "1")).alias("wayy_place_id"),
+    osmi/ConnectionLinePreprocessor.hpp:125-129,166).
+
+    One union + one groupBy (single shuffle) instead of a full-outer join."""
+    r = street_matches.select(
+        "akey", F.lit(True).alias("road"), F.lit(None).cast("boolean").alias("is_nody")
     )
-    return r.join(p, "akey", "full").select(
-        "akey", "road_id", "nody_place_id", "wayy_place_id"
+    p = place_matches.select("akey", F.lit(False).alias("road"), "is_nody")
+    return (
+        r.unionByName(p)
+        .groupBy("akey")
+        .agg(
+            F.max(F.when(F.col("road"), "1")).alias("road_id"),
+            F.max(F.when(F.col("is_nody") == True, "1")).alias("nody_place_id"),  # noqa: E712
+            F.max(F.when(F.col("is_nody") == False, "1")).alias("wayy_place_id"),  # noqa: E712
+        )
     )
 
 

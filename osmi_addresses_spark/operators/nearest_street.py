@@ -79,7 +79,10 @@ def match_streets(addr: DataFrame, streets: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn", "bbox_n", "bbox_e", "bbox_s", "bbox_w")
     )
-    return _with_foot_point(winners)
+    # way_coords feeds the refine UDF but is dropped from the output — the
+    # nearest_roads/areas layers re-join geometry for their ~deduped ways
+    # instead of carrying full linestrings through 10^7 match rows
+    return _with_foot_point(winners).drop("way_coords")
 
 
 def _with_foot_point(winners: DataFrame) -> DataFrame:

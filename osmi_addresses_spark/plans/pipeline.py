@@ -52,11 +52,22 @@ def run_all(
             partition_by=["entity"],
         )
         entities = store.read(spark, "entities")
+        nodes = nodes_view(entities)
+        ways = ways_view(entities)
+        # the assembly subtree (explode + join + collect_list agg) is the
+        # single most expensive shared intermediate — checkpoint it so no
+        # consumer ever recomputes it under memory pressure
+        store.write_once(
+            "ways_geo",
+            lambda: assemble_way_geometries(ways, nodes),
+            source_path=store._dir("entities"),
+        )
+        ways_geo = store.read(spark, "ways_geo")
     else:
         entities = parse_documents(documents).drop("tags_kv", "noise").cache()
-    nodes = nodes_view(entities)
-    ways = ways_view(entities)
-    ways_geo = assemble_way_geometries(ways, nodes).cache()
+        nodes = nodes_view(entities)
+        ways = ways_view(entities)
+        ways_geo = assemble_way_geometries(ways, nodes).cache()
 
     # pass-2 eligibility: resolvable geometry + nonzero length
     # (osmi/SecondHandler.hpp:71, GeometryHelper.hpp:154-167)
@@ -154,8 +165,8 @@ def run_all(
     out: dict[str, DataFrame] = {
         "connection_line": L.connection_line(street_matches, place_matches),
         "nearest_points": L.nearest_points(street_matches),
-        "nearest_roads": L.nearest_roads(street_matches),
-        "nearest_areas": L.nearest_areas(street_matches),
+        "nearest_roads": L.nearest_roads(street_matches, ways_geo),
+        "nearest_areas": L.nearest_areas(street_matches, ways_geo),
         "interpolation": interp_layer,
         "nodes_with_addresses": nwa,
         "ways_with_addresses": L.ways_with_addresses(ways_p2),
