@@ -131,11 +131,15 @@ def nearest_points(street_matches: DataFrame) -> DataFrame:
 
 def _first_match_per_way(matches: DataFrame) -> DataFrame:
     """A3 — first-write-wins dedup (osmi/NearestRoadsWriter.hpp:25-39): the
-    name/lastchange come from the first match in reference scan order."""
-    w = Window.partitionBy("way_id").orderBy(
-        F.col("phase").asc(), F.col("ord1").asc(), F.col("ord2").asc()
+    name/lastchange come from the first match in reference scan order.
+    Hash-aggregate argmin ((phase, ord1, ord2) is unique per match)."""
+    ord_key = F.struct(F.col("phase"), F.col("ord1"), F.col("ord2"))
+    payload = F.struct(*[F.col(c) for c in matches.columns])
+    return (
+        matches.groupBy("way_id")
+        .agg(F.min_by(payload, ord_key).alias("_w"))
+        .select("_w.*")
     )
-    return matches.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
 
 
 def _nearest_ways_layer(street_matches: DataFrame, ways_geo: DataFrame, area: bool) -> DataFrame:

@@ -35,12 +35,14 @@ def match_places(addr: DataFrame, places: DataFrame) -> DataFrame:
         G.point_dist(F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat")) < F.lit(MAXDIST)
     )
     # last-wins: wayy side (is_nody=false) beats nody; within a side, the
-    # latest-inserted (highest osm id) wins
-    w = Window.partitionBy("akey", "via").orderBy(
-        F.col("is_nody").asc(), F.col("obj_seq").desc()
-    )
+    # latest-inserted (highest osm id) wins. Hash-aggregate argmin (min_by
+    # over a total-order struct) instead of a window sort; (is_nody, obj_seq)
+    # is unique per (akey, via) candidate.
+    ord_key = F.struct(F.col("is_nody"), (-F.col("obj_seq")).alias("negseq"))
+    payload = F.struct(*[F.col(c) for c in cand.columns])
     return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "obj_seq")
+        cand.groupBy("akey", "via")
+        .agg(F.min_by(payload, ord_key).alias("_w"))
+        .select("_w.*")
+        .drop("obj_seq")
     )

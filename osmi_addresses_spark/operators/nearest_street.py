@@ -68,16 +68,21 @@ def match_streets(addr: DataFrame, streets: DataFrame) -> DataFrame:
     )
     cand = cand.withColumn(
         "dist", G.min_vertex_dist(F.col("way_coords"), F.col("lon"), F.col("lat"))
-    )
+    ).drop("bbox_n", "bbox_e", "bbox_s", "bbox_w")
     # strict-'<' scan order: closer wins; ties → area side (scanned first),
-    # then insertion (way id) order
-    w = Window.partitionBy("akey").orderBy(
-        F.col("dist").asc(), F.col("is_area").desc(), F.col("way_id").asc()
+    # then insertion (way id) order. min_by over a total-order struct is a
+    # hash aggregate (partial+final, map-side combine, no sort) — same
+    # semantics as a row_number window, far cheaper at 10^7 candidates.
+    # (akey, way_id) is unique per candidate, so the ordering is total and
+    # the result deterministic.
+    ord_key = F.struct(
+        F.col("dist"), (~F.col("is_area")).alias("na"), F.col("way_id")
     )
+    payload = F.struct(*[F.col(c) for c in cand.columns])
     winners = (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "bbox_n", "bbox_e", "bbox_s", "bbox_w")
+        cand.groupBy("akey")
+        .agg(F.min_by(payload, ord_key).alias("_w"))
+        .select("_w.*")
     )
     # way_coords feeds the refine UDF but is dropped from the output — the
     # nearest_roads/areas layers re-join geometry for their ~deduped ways
