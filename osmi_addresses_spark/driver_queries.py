@@ -575,7 +575,7 @@ def g_nearest_street(spark, sf_dir):
     """Flagship join output — node addr points only (SQL-checkable core)."""
     d = parsed(spark, sf_dir)
     n = d["nodes"].filter(F.col("tags")["addr:street"].isNotNull()).select(
-        F.concat(F.lit("n"), F.col("node_id")).alias("akey"),
+        L.akey_node(F.col("node_id")).alias("akey"),
         F.lit("node").alias("obj_type"),
         F.col("node_id").alias("obj_id"),
         F.col("tags")["addr:street"].alias("lookup_name"),
@@ -643,7 +643,7 @@ def g_nearest_place(spark, sf_dir):
     d = parsed(spark, sf_dir)
     nodes = d["nodes"]
     base_cols = [
-        F.concat(F.lit("n"), F.col("node_id")).alias("akey"),
+        L.akey_node(F.col("node_id")).alias("akey"),
         F.lit("node").alias("obj_type"),
         F.col("node_id").alias("obj_id"),
         "lon", "lat",
@@ -1173,7 +1173,7 @@ def g_street_not_found(spark, sf_dir):
     n_street = nodes.filter(
         F.coalesce(F.col("tags")["addr:street"], F.lit("")) != ""
     ).select(
-        F.concat(F.lit("n"), F.col("node_id")).alias("akey"),
+        L.akey_node(F.col("node_id")).alias("akey"),
         F.lit("node").alias("obj_type"),
         F.col("node_id").alias("obj_id"),
         F.col("tags")["addr:street"].alias("lookup_name"),
@@ -1184,7 +1184,7 @@ def g_street_not_found(spark, sf_dir):
     )
     sm = match_streets(n_street, d["streets"]).select("akey").distinct()
     n_place = nodes.filter(F.col("tags")["addr:place"].isNotNull()).select(
-        F.concat(F.lit("n"), F.col("node_id")).alias("akey"),
+        L.akey_node(F.col("node_id")).alias("akey"),
         F.lit("node").alias("obj_type"),
         F.col("node_id").alias("obj_id"),
         F.col("tags")["addr:place"].alias("lookup_name"),

@@ -21,6 +21,24 @@ ADDRX_KEYS = [
 ]
 
 
+
+
+# packed-long address keys (join keys cheaper than strings at 10^7+ rows):
+# node → id*4, way centroid → id*4+1, interpolated point → ((wid<<10)+k)*4+2
+# (k < 1024 always: the range-too-large guard caps interpolation spans at
+# 1000 house numbers)
+def akey_node(c):
+    return (c * 4).cast("long")
+
+
+def akey_way(c):
+    return (c * 4 + 1).cast("long")
+
+
+def akey_ip(way_id, k):
+    return ((F.shiftleft(way_id, 10) + k) * 4 + 2).cast("long")
+
+
 def _tag(k: str):
     return F.col("tags")[k]
 
@@ -192,7 +210,7 @@ def nwa_node_rows(nodes: DataFrame, flags: DataFrame) -> DataFrame:
         c = _tag(f"addr:{k}").isNotNull()
         pred = c if pred is None else (pred | c)
     base = nodes.filter(pred).select(
-        F.concat(F.lit("n"), F.col("node_id")).alias("akey"),
+        akey_node(F.col("node_id")).alias("akey"),
         G.fmt_id(F.col("node_id")).alias("node_id"),
         F.lit(None).cast("string").alias("way_id"),
         F.lit(None).cast("string").alias("ip_id"),
@@ -226,7 +244,7 @@ def nwa_way_rows(way_centroids: DataFrame, flags: DataFrame) -> DataFrame:
         & (_tag("addr:street").isNotNull() | _tag("addr:housenumber").isNotNull())
     )
     base = f.select(
-        F.concat(F.lit("w"), F.col("way_id")).alias("akey"),
+        akey_way(F.col("way_id")).alias("akey"),
         F.lit(None).cast("string").alias("node_id"),
         G.fmt_id(F.col("way_id")).alias("way_id"),
         F.lit(None).cast("string").alias("ip_id"),
@@ -257,7 +275,7 @@ def nwa_ip_rows(ip_points: DataFrame, flags: DataFrame) -> DataFrame:
     field is set unconditionally (empty string when the tag was missing —
     SetField("") writes '' not NULL); no node/way/ip id, no lastchange."""
     base = ip_points.select(
-        F.concat(F.lit("ip/"), F.col("way_id"), F.lit("/"), F.col("k")).alias("akey"),
+        akey_ip(F.col("way_id"), F.col("k")).alias("akey"),
         F.lit(None).cast("string").alias("node_id"),
         F.lit(None).cast("string").alias("way_id"),
         F.lit(None).cast("string").alias("ip_id"),

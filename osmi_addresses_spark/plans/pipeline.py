@@ -88,7 +88,7 @@ def run_all(
 
     # ---- addr points for the street match (J3-J5) ----
     n_street = nodes.filter(F.col("tags")["addr:street"].isNotNull()).select(
-        F.concat(F.lit("n"), F.col("node_id")).alias("akey"),
+        L.akey_node(F.col("node_id")).alias("akey"),
         F.lit("node").alias("obj_type"),
         F.col("node_id").alias("obj_id"),
         F.col("tags")["addr:street"].alias("lookup_name"),
@@ -99,7 +99,7 @@ def run_all(
         F.lit(0).cast("long").alias("ord2"),
     )
     w_street = way_centroids.filter(F.col("tags")["addr:street"].isNotNull()).select(
-        F.concat(F.lit("w"), F.col("way_id")).alias("akey"),
+        L.akey_way(F.col("way_id")).alias("akey"),
         F.lit("way").alias("obj_type"),
         F.col("way_id").alias("obj_id"),
         F.col("tags")["addr:street"].alias("lookup_name"),
@@ -110,7 +110,7 @@ def run_all(
         F.lit(WAY_CENTROID_ORD2).cast("long").alias("ord2"),
     )
     ip_street = ip_points.select(
-        F.concat(F.lit("ip/"), F.col("way_id"), F.lit("/"), F.col("k")).alias("akey"),
+        L.akey_ip(F.col("way_id"), F.col("k")).alias("akey"),
         F.lit("ip").alias("obj_type"),
         F.lit(0).cast("long").alias("obj_id"),  # DUMMY_ID
         F.col("street").alias("lookup_name"),
@@ -126,7 +126,7 @@ def run_all(
     # ---- addr points for the place match (J6) ----
     n_fallback = n_street.withColumn("via", F.lit("street"))
     n_place = nodes.filter(F.col("tags")["addr:place"].isNotNull()).select(
-        F.concat(F.lit("n"), F.col("node_id")).alias("akey"),
+        L.akey_node(F.col("node_id")).alias("akey"),
         F.lit("node").alias("obj_type"),
         F.col("node_id").alias("obj_id"),
         F.col("tags")["addr:place"].alias("lookup_name"),
@@ -138,7 +138,7 @@ def run_all(
         F.lit("place").alias("via"),
     )
     w_place = way_centroids.filter(F.col("tags")["addr:place"].isNotNull()).select(
-        F.concat(F.lit("w"), F.col("way_id")).alias("akey"),
+        L.akey_way(F.col("way_id")).alias("akey"),
         F.lit("way").alias("obj_type"),
         F.col("way_id").alias("obj_id"),
         F.col("tags")["addr:place"].alias("lookup_name"),
