@@ -39,7 +39,15 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
     sf = float(os.environ.get("SPARK_GRAFT_FIXTURE_SF", sf_of(sf_dir)))
     fx = write_fixture(sf)
     pipeline_only = os.environ.get("SPARK_GRAFT_BENCH_ONLY_PIPELINE") == "1"
-    spark = get_spark(f"bench-{cpus}", cores=cpus, shuffle_partitions=max(int(cpus), 8))
+    # scratch on tmpfs when available: stable timings (no writeback noise),
+    # and representative of per-executor local NVMe on a real cluster
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    extra = {}
+    if scratch_root:
+        extra["spark.local.dir"] = os.path.join(scratch_root, "spark-bench-local")
+    spark = get_spark(
+        f"bench-{cpus}", cores=cpus, shuffle_partitions=2 * max(int(cpus), 8), extra_conf=extra
+    )
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
@@ -50,7 +58,7 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
 
     from osmi_addresses_spark.io.table import TableStore
 
-    workdir = tempfile.mkdtemp(prefix="osmi_bench_")
+    workdir = tempfile.mkdtemp(prefix="osmi_bench_", dir=scratch_root)
     store = TableStore(workdir)
 
     t_start = time.time()

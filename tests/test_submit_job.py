@@ -1,0 +1,44 @@
+"""spark-submit packaging: zip build + end-to-end job run + resume."""
+
+import json
+import subprocess
+import sys
+import zipfile
+
+
+def test_package_zip():
+    from package import build
+
+    p = build()
+    names = zipfile.ZipFile(p).namelist()
+    assert "osmi_addresses_spark/plans/pipeline.py" in names
+    assert not any("__pycache__" in n for n in names)
+
+
+def test_spark_submit_runs_and_resumes(tmp_path):
+    """Run the real spark-submit with --py-files against the sf0.001 fixture."""
+    from package import build
+
+    zip_path = build()
+    fx = "/root/repo/fixtures/osm_sf0.001_v3/documents.parquet"
+    out = str(tmp_path / "warehouse")
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--py-files", zip_path,
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "/root/repo/submit_job.py",
+        "--input", fx,
+        "--output", out,
+        "--layers", "entrances,nodes_with_addresses",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    written = json.loads([ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
+    assert "entrances" in written["written"]
+    # resume: second run must skip the completed entity/geometry checkpoints
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    manifest = json.load(open(f"{out}/entities.manifest.json"))
+    assert manifest["lineage"]["source"] == fx
