@@ -48,6 +48,9 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
     spark = get_spark(
         f"bench-{cpus}", cores=cpus, shuffle_partitions=2 * max(int(cpus), 8), extra_conf=extra
     )
+    from osmi_addresses_spark.session import warm_python_workers
+
+    warm_python_workers(spark, int(cpus))
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 

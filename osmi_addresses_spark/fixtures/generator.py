@@ -430,6 +430,18 @@ def generate_world_chunk(
     return world
 
 
+def _write_fixture_chunk(args: tuple) -> tuple[int, int, int]:
+    docs_dir, start, end, n_towns, seed, n_mass = args
+    world = generate_world_chunk(
+        range(start, end), n_towns, seed, with_far=(start == 0), n_mass_per_town=n_mass
+    )
+    tbl = world_to_documents(world)
+    pq.write_table(
+        tbl, os.path.join(docs_dir, f"part-{start:06d}.parquet"), row_group_size=16384
+    )
+    return tbl.num_rows, len(world.nodes), len(world.ways)
+
+
 def write_fixture(sf: float, out_dir: str | None = None, seed: int = 42) -> str:
     """Generate (if absent) the documents parquet for a scale factor.
 
@@ -441,30 +453,31 @@ def write_fixture(sf: float, out_dir: str | None = None, seed: int = 42) -> str:
         return out_dir
     n_towns = max(1, int(round(sf * 1000)))
     chunk = 50
-    os.makedirs(out_dir, exist_ok=True)
-    writer = None
+    # `documents.parquet` is a DIRECTORY of part files (committed small
+    # fixtures remain single files — Spark reads both): chunks generate and
+    # write in parallel, and multiple files give the parse stage full input
+    # parallelism from the first task. meta.json stays the commit marker —
+    # a crashed generation leaves no marker and is redone from scratch.
+    docs_dir = os.path.join(out_dir, "documents.parquet")
+    if os.path.isfile(docs_dir):
+        os.remove(docs_dir)
+    os.makedirs(docs_dir, exist_ok=True)
+    starts = list(range(0, n_towns, chunk))
     n_docs = n_nodes = n_ways = 0
-    try:
-        for start in range(0, n_towns, chunk):
-            world = generate_world_chunk(
-                range(start, min(start + chunk, n_towns)),
-                n_towns,
-                seed,
-                with_far=(start == 0),
-                n_mass_per_town=1200,
-            )
-            tbl = world_to_documents(world)
-            if writer is None:
-                writer = pq.ParquetWriter(
-                    os.path.join(out_dir, "documents.parquet"), tbl.schema
-                )
-            writer.write_table(tbl, row_group_size=16384)
-            n_docs += tbl.num_rows
-            n_nodes += len(world.nodes)
-            n_ways += len(world.ways)
-    finally:
-        if writer is not None:
-            writer.close()
+    from concurrent.futures import ProcessPoolExecutor
+
+    jobs = [
+        (docs_dir, s, min(s + chunk, n_towns), n_towns, seed, 1200) for s in starts
+    ]
+    if len(jobs) == 1:
+        results = [_write_fixture_chunk(jobs[0])]
+    else:
+        with ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
+            results = list(ex.map(_write_fixture_chunk, jobs))
+    for nd, nn, nw in results:
+        n_docs += nd
+        n_nodes += nn
+        n_ways += nw
     meta = {
         "sf": sf,
         "seed": seed,

@@ -47,7 +47,7 @@ def run_all(
     if store is not None:
         store.write_once(
             "entities",
-            lambda: parse_documents(documents).drop("tags_kv", "noise"),
+            lambda: parse_documents(documents, minimal=True),
             source_path=source_path,
             partition_by=["entity"],
         )
@@ -64,7 +64,7 @@ def run_all(
         )
         ways_geo = store.read(spark, "ways_geo")
     else:
-        entities = parse_documents(documents).drop("tags_kv", "noise").cache()
+        entities = parse_documents(documents, minimal=True).cache()
         nodes = nodes_view(entities)
         ways = ways_view(entities)
         ways_geo = assemble_way_geometries(ways, nodes).cache()

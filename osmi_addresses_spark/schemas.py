@@ -95,6 +95,15 @@ ENTITY_SCHEMA = T.StructType(
     ]
 )
 
+# Minimal entity projection for the pipeline hot path: the layer pipeline
+# drops doc_id/tags_kv/noise immediately, so the parse UDF can skip building
+# and shipping them (≈half the Arrow IPC volume and several large string
+# filter kernels per batch — measurably better multi-worker scaling).
+ENTITY_MIN_ARROW = pa.schema([f for f in ENTITY_ARROW if f.name not in ("doc_id", "tags_kv", "noise")])
+ENTITY_MIN_SCHEMA = T.StructType(
+    [f for f in ENTITY_SCHEMA.fields if f.name not in ("doc_id", "tags_kv", "noise")]
+)
+
 POINT = T.StructType(
     [T.StructField("lon", T.DoubleType(), True), T.StructField("lat", T.DoubleType(), True)]
 )

