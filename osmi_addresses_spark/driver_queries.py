@@ -1076,6 +1076,7 @@ def all_queries():
         "geo_street_not_found": g_street_not_found,
         "dedup_simhash": d_simhash,
         "dedup_embedding_cosine": d_embedding_near_dup,
+        "ann_ivf": s_ann_ivf,
     }
     return qs
 
@@ -1114,6 +1115,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "media_refs": sql_media_refs(fx),
         "geo_pip_assign": sql_pip_assign(fx),
         "geo_street_not_found": sql_street_not_found(fx),
+        "dedup_embedding_cosine": sql_embedding_near_dup(sf_dir),
     }
 
 
@@ -1281,4 +1283,47 @@ def d_simhash(spark, sf_dir):
 def d_embedding_near_dup(spark, sf_dir):
     from .operators.dedup import embedding_near_dups
 
-    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.98)
+    # 0.35 ≈ p99.9 of the pairwise-cosine distribution in the synthetic
+    # embeddings (max 0.51) — high enough to be selective, low enough that
+    # the oracle comparison is non-vacuous
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def sql_embedding_near_dup(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB oracle for d_embedding_near_dup: the identical hyperplane
+    signature (same seed-7 planes embedded as literals) + bucket self-join +
+    exact cosine, via list_inner_product / list_cosine_similarity."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    dim = len(tbl.column(0)[0])
+    planes = np.random.RandomState(7).randn(8, dim)
+    bucket_terms = []
+    for i in range(8):
+        lits = ", ".join(repr(float(x)) for x in planes[i])
+        bucket_terms.append(
+            f"(CASE WHEN list_inner_product(v, [{lits}]) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "\n    + ".join(bucket_terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM e
+)
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b2.v), 6) AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.35
+"""
+
+
+def s_ann_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-5 (scale path of ann_topk; recall vs the
+    exact baseline is asserted in tests, no SQL oracle — approximate op)."""
+    from .operators.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, nlist=16, nprobe=6)

@@ -80,10 +80,16 @@ class TableStore:
         path = self._dir(name)
         if os.path.exists(path):
             shutil.rmtree(path)
+        t0 = time.time()
         w = df.write.mode("errorifexists")  # osmi/main.cpp:50-57 semantics
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
+        elapsed = round(time.time() - t0, 3)
+        if os.environ.get("SPARK_GRAFT_PHASE_LOG"):
+            import sys
+
+            print(f"[table] {name}: {elapsed}s", file=sys.stderr)
         # per-partition metrics from the written files
         parts: dict[str, dict] = {}
         for dirpath, _dirnames, filenames in os.walk(path):
@@ -98,6 +104,7 @@ class TableStore:
                 parts[rel] = {"files": nfiles, "bytes": nbytes}
         manifest = {
             "table": name,
+            "write_seconds": elapsed,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "schema": df.schema.jsonValue(),
             "partition_by": partition_by or [],

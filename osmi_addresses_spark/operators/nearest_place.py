@@ -39,10 +39,13 @@ def match_places(addr: DataFrame, places: DataFrame) -> DataFrame:
     # over a total-order struct) instead of a window sort; (is_nody, obj_seq)
     # is unique per (akey, via) candidate.
     ord_key = F.struct(F.col("is_nody"), (-F.col("obj_seq")).alias("negseq"))
-    payload = F.struct(*[F.col(c) for c in cand.columns])
+    # addr columns ride as grouping keys (akey unique per addr ⇒ same
+    # groups); payload holds only the winner-specific fields so the agg
+    # hash maps stay narrow.
+    addr_cols = [c for c in addr.columns]
+    payload = F.struct("is_nody", "plon", "plat")
     return (
-        cand.groupBy("akey", "via")
+        cand.groupBy(*addr_cols)
         .agg(F.min_by(payload, ord_key).alias("_w"))
-        .select("_w.*")
-        .drop("obj_seq")
+        .select(*addr_cols, "_w.*")
     )

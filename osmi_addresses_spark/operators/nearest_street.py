@@ -38,11 +38,16 @@ from ..functions.geom_np import refine_foot_points_batch
 #   phase, ord1, ord2   reference scan order (nodes→ways; id; within-way step)
 
 
-def match_streets(addr: DataFrame, streets: DataFrame) -> DataFrame:
+def match_streets(
+    addr: DataFrame, streets: DataFrame, ways_geom: DataFrame | None = None
+) -> DataFrame:
     """→ one row per *matched* addr point, with the winning way.
 
-    Columns: addr cols + way_id, is_area, way_coords, way_lastchange, foot
-    (struct<lon,lat> — the refined connection-line endpoint).
+    Columns: addr cols + way_id, is_area, way_lastchange, foot_lon/lat
+    (the refined connection-line endpoint).
+
+    ``ways_geom`` (way_id, coords — one row per way) feeds the winners-only
+    refine; derived from ``streets`` when not supplied.
     """
     a = addr.withColumn("cell", cell_of(F.col("lon"), F.col("lat")))
     s = streets.select(
@@ -66,27 +71,38 @@ def match_streets(addr: DataFrame, streets: DataFrame) -> DataFrame:
             F.col("lon"), F.col("lat"), MAXDIST,
         )
     )
+    # dist is computed inside the join stage (codegen) and way_coords never
+    # leaves it: the aggregation below moves only ids through its hash maps.
+    # Payload width matters doubly here — partial min_by state lives in the
+    # agg hash map per group, and wide payloads (the full candidate row incl.
+    # the linestring) made the partial-agg stage GC-bound (measured 557 s GC
+    # in an 877 s stage at sf10/32 cores).
     cand = cand.withColumn(
         "dist", G.min_vertex_dist(F.col("way_coords"), F.col("lon"), F.col("lat"))
-    ).drop("bbox_n", "bbox_e", "bbox_s", "bbox_w")
+    ).drop("bbox_n", "bbox_e", "bbox_s", "bbox_w", "way_coords")
     # strict-'<' scan order: closer wins; ties → area side (scanned first),
     # then insertion (way id) order. min_by over a total-order struct is a
     # hash aggregate (partial+final, map-side combine, no sort) — same
     # semantics as a row_number window, far cheaper at 10^7 candidates.
     # (akey, way_id) is unique per candidate, so the ordering is total and
-    # the result deterministic.
+    # the result deterministic. Addr columns ride along as grouping keys
+    # (akey is unique ⇒ identical groups, no re-join needed).
+    addr_cols = [c for c in addr.columns]
     ord_key = F.struct(
         F.col("dist"), (~F.col("is_area")).alias("na"), F.col("way_id")
     )
-    payload = F.struct(*[F.col(c) for c in cand.columns])
+    payload = F.struct("way_id", "is_area", "way_lastchange")
     winners = (
-        cand.groupBy("akey")
+        cand.groupBy(*addr_cols)
         .agg(F.min_by(payload, ord_key).alias("_w"))
-        .select("_w.*")
+        .select(*addr_cols, "_w.*")
     )
-    # way_coords feeds the refine UDF but is dropped from the output — the
-    # nearest_roads/areas layers re-join geometry for their ~deduped ways
-    # instead of carrying full linestrings through 10^7 match rows
+    # winners-only geometry: one slim equi-join on way_id feeds the refine;
+    # hot ways (many addrs on one street) are AQE-skew-split.
+    if ways_geom is None:
+        ways_geom = streets.select("way_id", "coords").dropDuplicates(["way_id"])
+    geom = ways_geom.select("way_id", F.col("coords").alias("way_coords"))
+    winners = winners.join(geom, "way_id")
     return _with_foot_point(winners).drop("way_coords")
 
 

@@ -13,6 +13,8 @@ is AQE-skew-protected and salted by cell construction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,9 +27,25 @@ from ..operators.nearest_place import match_places
 from ..operators.nearest_street import match_streets
 from ..operators.places import build_places_index
 from ..operators.streets import build_streets_index
+from ..sources.arrow_source import parsed_documents
 from ..sources.parser import nodes_view, parse_documents, ways_view
 
-WAY_CENTROID_ORD2 = 1 << 42  # way's own match comes after its interp points
+WAY_CENTROID_ORD2 = 1 << 42
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """Shared-intermediate persistence (MEMORY_AND_DISK by default — with
+    the session's off-heap Tungsten memory the cached columnar batches stay
+    out of the GC'd heap; on-heap caching of the ~9 GB of shared
+    intermediates at sf10 kept the old gen full and made every match stage
+    GC-bound, 721 s GC in one 1286 s stage). SPARK_GRAFT_CACHE_LEVEL
+    overrides (e.g. DISK_ONLY for memory-constrained executors)."""
+    from pyspark import StorageLevel
+
+    level = getattr(
+        StorageLevel, os.environ.get("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK")
+    )
+    return df.persist(level)  # way's own match comes after its interp points
 
 
 def run_all(
@@ -45,9 +63,19 @@ def run_all(
     This is the 100 TB configuration; the cache path is for small inputs.
     """
     if store is not None:
+
+        def _entities():
+            # worker-side read+parse (sources/arrow_source.py) when the
+            # input is a parquet path: skips the JVM nested-parquet decode
+            # and one Arrow IPC leg; identical rows to parse_documents.
+            doc_pq = source_path and os.path.join(source_path, "documents.parquet")
+            if doc_pq and os.path.exists(doc_pq):
+                return parsed_documents(spark, doc_pq)
+            return parse_documents(documents, minimal=True)
+
         store.write_once(
             "entities",
-            lambda: parse_documents(documents, minimal=True),
+            _entities,
             source_path=source_path,
             partition_by=["entity"],
         )
@@ -64,27 +92,27 @@ def run_all(
         )
         ways_geo = store.read(spark, "ways_geo")
     else:
-        entities = parse_documents(documents, minimal=True).cache()
+        entities = _persist(parse_documents(documents, minimal=True))
         nodes = nodes_view(entities)
         ways = ways_view(entities)
-        ways_geo = assemble_way_geometries(ways, nodes).cache()
+        ways_geo = _persist(assemble_way_geometries(ways, nodes))
 
     # pass-2 eligibility: resolvable geometry + nonzero length
     # (osmi/SecondHandler.hpp:71, GeometryHelper.hpp:154-167)
     ways_p2 = ways_geo.filter(
         F.col("coords").isNotNull() & G.nonzero_length(F.col("coords"))
     )
-    way_centroids = (
-        ways_p2.filter(G.is_closed(F.col("refs")))
-        .withColumn("centroid", G.centroid_cols(F.col("coords")))
-        .cache()
+    way_centroids = _persist(
+        ways_p2.filter(G.is_closed(F.col("refs"))).withColumn(
+            "centroid", G.centroid_cols(F.col("coords"))
+        )
     )
 
-    streets_index = build_streets_index(ways_geo).cache()
+    streets_index = _persist(build_streets_index(ways_geo))
     places_index = build_places_index(nodes, ways_geo.filter(F.size("refs") >= 2))
 
     interp_layer, ip_points = interpolation_plan(ways_p2, nodes)
-    ip_points = ip_points.cache()
+    ip_points = _persist(ip_points)
 
     # ---- addr points for the street match (J3-J5) ----
     n_street = nodes.filter(F.col("tags")["addr:street"].isNotNull()).select(
@@ -121,7 +149,11 @@ def run_all(
         F.col("k").alias("ord2"),
     )
     street_addr = n_street.unionByName(w_street).unionByName(ip_street)
-    street_matches = match_streets(street_addr, streets_index).cache()
+    street_matches = _persist(
+        match_streets(
+            street_addr, streets_index, ways_geom=ways_geo.select("way_id", "coords")
+        )
+    )
 
     # ---- addr points for the place match (J6) ----
     n_fallback = n_street.withColumn("via", F.lit("street"))
@@ -150,16 +182,15 @@ def run_all(
         F.lit("place").alias("via"),
     )
     place_addr = n_fallback.unionByName(n_place).unionByName(w_place)
-    place_matches = match_places(place_addr, places_index).cache()
+    place_matches = _persist(match_places(place_addr, places_index))
 
     flags = L._match_flags(street_matches, place_matches)
 
     # cached: five derived views + the base layer all read it
-    nwa = (
+    nwa = _persist(
         L.nwa_node_rows(nodes, flags)
         .unionByName(L.nwa_way_rows(way_centroids, flags))
         .unionByName(L.nwa_ip_rows(ip_points, flags))
-        .cache()
     )
 
     out: dict[str, DataFrame] = {

@@ -6,6 +6,13 @@ evidenced by running the identical job on the identical input at local[8]
 and local[32] (fresh JVM each) and reporting throughput at both plus
   efficiency = (throughput_32 / throughput_8) / (32 / 8).
 
+Measurement protocol for this host (virtualized, high run-to-run variance —
+±50% observed on identical configs): each parallelism level runs
+SPARK_GRAFT_SCALING_RUNS times (default 3), alternating levels to de-bias
+machine drift, with page-cache drops and a cooldown between runs; the
+per-level result is the MINIMUM pipeline time (noise is strictly additive
+here — the fastest run is the closest to the machine's true capability).
+
 Writes BENCH_SCALING.json and a markdown section for BASELINE.md.
 """
 
@@ -15,6 +22,16 @@ import json
 import os
 import subprocess
 import sys
+import time
+
+
+def _drop_caches() -> None:
+    try:
+        subprocess.run(["sync"], check=False)
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3")
+    except OSError:
+        pass
 
 
 def run_at(cpus: int, sf_dir: str) -> dict:
@@ -36,20 +53,36 @@ def run_at(cpus: int, sf_dir: str) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     lo, hi = 8, 32
-    r_lo = run_at(lo, sf_dir)
-    r_hi = run_at(hi, sf_dir)
-    thr_lo = r_lo["value"]
-    thr_hi = r_hi["value"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+    cooldown = int(os.environ.get("SPARK_GRAFT_SCALING_COOLDOWN", "20"))
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for i in range(n_runs):
+        for cpus in (lo, hi):
+            _drop_caches()
+            time.sleep(cooldown)
+            r = run_at(cpus, sf_dir)
+            runs[cpus].append(r)
+            print(
+                f"run {i + 1}/{n_runs} cores={cpus}: pipeline={r['pipeline_sec']}s "
+                f"thr={r['value']}/s",
+                file=sys.stderr,
+            )
+    best_lo = min(runs[lo], key=lambda r: r["pipeline_sec"])
+    best_hi = min(runs[hi], key=lambda r: r["pipeline_sec"])
+    eff = (best_hi["value"] / best_lo["value"]) / (hi / lo)
     result = {
-        "fixture_sf": r_lo["sf"],
-        "n_validated": r_lo["n_validated"],
+        "fixture_sf": best_lo["sf"],
+        "n_validated": best_lo["n_validated"],
         "cores_lo": lo,
         "cores_hi": hi,
-        "throughput_lo": thr_lo,
-        "throughput_hi": thr_hi,
-        "pipeline_sec_lo": r_lo["pipeline_sec"],
-        "pipeline_sec_hi": r_hi["pipeline_sec"],
+        "runs_per_level": n_runs,
+        "estimator": "min pipeline_sec per level (additive-noise host)",
+        "throughput_lo": best_lo["value"],
+        "throughput_hi": best_hi["value"],
+        "pipeline_sec_lo": best_lo["pipeline_sec"],
+        "pipeline_sec_hi": best_hi["pipeline_sec"],
+        "all_pipeline_sec_lo": [r["pipeline_sec"] for r in runs[lo]],
+        "all_pipeline_sec_hi": [r["pipeline_sec"] for r in runs[hi]],
         "scaling_efficiency": round(eff, 3),
     }
     with open("BENCH_SCALING.json", "w") as f:
