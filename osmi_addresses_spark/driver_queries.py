@@ -766,9 +766,13 @@ def d_ngram_jaccard(spark, sf_dir):
     the shuffle key is (gram, lang): LSH-style candidate generation.
 
     Estimated Jaccard over a deterministic 1/4 hash-sample of the gram space
-    (md5 first hex char < '4') — same sampling in the DuckDB oracle; this is
-    the sparsification that keeps the gram self-join linear in near-dup mass
-    at scale."""
+    (md5 first hex char < '4'), with stop-grams (document frequency > 500
+    within a language) removed from the gram sets — both knobs mirrored in
+    the DuckDB oracle. The sampling sparsifies; the df cutoff removes the
+    quadratic candidate blowup from grams shared by most documents (which
+    carry no near-dup signal) — the self-join cost becomes linear in the
+    near-dup mass at scale."""
+    df_cap = 500
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     grams = d.select(
         "doc_id",
@@ -782,6 +786,13 @@ def d_ngram_jaccard(spark, sf_dir):
             )
         ).alias("g"),
     ).filter(F.substring(F.md5(F.encode("g", "utf-8")), 1, 1) < "4").distinct()
+    keep = (
+        grams.groupBy("lang", "g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("lang", "g")
+    )
+    grams = grams.join(keep, ["lang", "g"], "left_semi")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -806,11 +817,15 @@ WITH grams AS (
     SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g
     FROM documents, LATERAL UNNEST(range(1, GREATEST(length(text) - 2, 1) + 1)) AS t(i)
   ) WHERE substr(md5(g), 1, 1) < '4'
+), keep AS (
+  SELECT lang, g FROM grams GROUP BY lang, g HAVING COUNT(*) <= 500
+), fgrams AS (
+  SELECT gr.doc_id, gr.lang, gr.g FROM grams gr JOIN keep k USING (lang, g)
 ), sizes AS (
-  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1
+  SELECT doc_id, COUNT(*) AS sz FROM fgrams GROUP BY 1
 ), common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM grams a JOIN grams b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+  FROM fgrams a JOIN fgrams b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

@@ -52,7 +52,9 @@ def run_at(cpus: int, sf_dir: str) -> dict:
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    lo, hi = 8, 32
+    lo, hi = (
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "8,32").split(",")
+    )
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
     cooldown = int(os.environ.get("SPARK_GRAFT_SCALING_COOLDOWN", "20"))
     runs: dict[int, list[dict]] = {lo: [], hi: []}
@@ -70,6 +72,7 @@ def main():
     best_lo = min(runs[lo], key=lambda r: r["pipeline_sec"])
     best_hi = min(runs[hi], key=lambda r: r["pipeline_sec"])
     eff = (best_hi["value"] / best_lo["value"]) / (hi / lo)
+    out_name = os.environ.get("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING.json")
     result = {
         "fixture_sf": best_lo["sf"],
         "n_validated": best_lo["n_validated"],
@@ -85,7 +88,7 @@ def main():
         "all_pipeline_sec_hi": [r["pipeline_sec"] for r in runs[hi]],
         "scaling_efficiency": round(eff, 3),
     }
-    with open("BENCH_SCALING.json", "w") as f:
+    with open(out_name, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 
