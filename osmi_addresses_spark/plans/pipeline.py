@@ -64,12 +64,27 @@ def run_all(
     """
     if store is not None:
 
+        def _docs_parquet() -> str | None:
+            """The documents parquet under source_path: either the path
+            itself (submit_job --input) or <path>/documents.parquet
+            (fixture/testdata layout)."""
+            if not source_path:
+                return None
+            for cand in (os.path.join(source_path, "documents.parquet"), source_path):
+                if os.path.isfile(cand) and cand.endswith(".parquet"):
+                    return cand
+                if os.path.isdir(cand) and any(
+                    f.endswith(".parquet") for f in os.listdir(cand)
+                ):
+                    return cand
+            return None
+
         def _entities():
             # worker-side read+parse (sources/arrow_source.py) when the
             # input is a parquet path: skips the JVM nested-parquet decode
             # and one Arrow IPC leg; identical rows to parse_documents.
-            doc_pq = source_path and os.path.join(source_path, "documents.parquet")
-            if doc_pq and os.path.exists(doc_pq):
+            doc_pq = _docs_parquet()
+            if doc_pq:
                 return parsed_documents(spark, doc_pq)
             return parse_documents(documents, minimal=True)
 
@@ -112,7 +127,12 @@ def run_all(
     places_index = build_places_index(nodes, ways_geo.filter(F.size("refs") >= 2))
 
     interp_layer, ip_points = interpolation_plan(ways_p2, nodes)
-    ip_points = _persist(ip_points)
+    # densified points inherit the ways-scan partitioning, where interp ways
+    # occupy only a handful of splits — without a redistribution the whole
+    # downstream match runs that narrow (measured: 8 × 11 s straggler tasks
+    # capping the candidate stage at any core count). Hash-repartition on
+    # the point key before persisting; 2.3M slim rows, cheap shuffle.
+    ip_points = _persist(ip_points.repartition(F.col("way_id"), F.col("k")))
 
     # ---- addr points for the street match (J3-J5) ----
     n_street = nodes.filter(F.col("tags")["addr:street"].isNotNull()).select(

@@ -31,6 +31,10 @@ DEFAULT_CONF = {
     # 16-task write with an 8 g heap). 32 MB keeps buffers bounded and give
     # finer min/max stats granularity for the cell-clustered layer files.
     "spark.hadoop.parquet.block.size": "33554432",
+    # v2 file committer: task outputs move to the destination at task commit
+    # instead of a serial driver-side rename pass at job commit — the rename
+    # pass is pure driver-idle time between stages.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     # Parquet scan hygiene.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
