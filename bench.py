@@ -36,7 +36,11 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
     from osmi_addresses_spark.plans.pipeline import run_all
     from osmi_addresses_spark.session import get_spark
 
-    sf = float(os.environ.get("SPARK_GRAFT_FIXTURE_SF", sf_of(sf_dir)))
+    # headline fixture scale: at tiny sf the pipeline is all fixed overhead
+    # (session+planning floor ~25 s), which measures the harness, not the
+    # engine. Default to sf≥4 (5.3M addresses, ~1 min) unless pinned.
+    env_sf = os.environ.get("SPARK_GRAFT_FIXTURE_SF")
+    sf = float(env_sf) if env_sf else max(sf_of(sf_dir), 4.0)
     fx = write_fixture(sf)
     pipeline_only = os.environ.get("SPARK_GRAFT_BENCH_ONLY_PIPELINE") == "1"
     # Scratch on DISK, never tmpfs: tmpfs writes are synchronous kernel page

@@ -1092,6 +1092,8 @@ def all_queries():
         "dedup_simhash": d_simhash,
         "dedup_embedding_cosine": d_embedding_near_dup,
         "ann_ivf": s_ann_ivf,
+        "geo_rasterize": g_rasterize,
+        "geo_polygonize": g_polygonize,
     }
     return qs
 
@@ -1131,10 +1133,76 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "geo_pip_assign": sql_pip_assign(fx),
         "geo_street_not_found": sql_street_not_found(fx),
         "dedup_embedding_cosine": sql_embedding_near_dup(sf_dir),
+        "geo_rasterize": sql_rasterize(fx),
+        "geo_polygonize": sql_polygonize(fx),
     }
 
 
 # -- point-in-polygon assignment (north-rule op) ---------------------------
+# -- raster <-> vector (north-rule op family) ------------------------------
+def g_rasterize(spark, sf_dir):
+    """vector→raster: node density on a 0.05° grid (one hash agg)."""
+    from .operators.raster import rasterize_points
+
+    d = parsed(spark, sf_dir)
+    return rasterize_points(d["nodes"], res=0.05)
+
+
+def sql_rasterize(fx):
+    return _fx_prefix(fx) + """
+SELECT CAST(floor(lon / 0.05) AS BIGINT) AS cx,
+       CAST(floor(lat / 0.05) AS BIGINT) AS cy,
+       COUNT(*) AS n
+FROM nd GROUP BY 1, 2"""
+
+
+def g_polygonize(spark, sf_dir):
+    """raster→vector: connected components of dense cells (≥5 points) via
+    distributed min-label propagation with pointer jumping."""
+    from .operators.raster import polygonize_cells, rasterize_points
+
+    d = parsed(spark, sf_dir)
+    return polygonize_cells(rasterize_points(d["nodes"], res=0.05), threshold=5)
+
+
+def sql_polygonize(fx):
+    """Recursive-CTE transitive closure over the same 4-neighbourhood edge
+    list → min reachable cell key per cell == the Spark component id."""
+    return f"""
+WITH RECURSIVE sp AS (
+  SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{fx}/documents.parquet')
+), hdr AS (
+  SELECT doc_id, string_split(s.text, ' ') AS p FROM sp WHERE s.kind = 'header'
+), nd AS (
+  SELECT TRY_CAST(p[3] AS DOUBLE) AS lat, TRY_CAST(p[4] AS DOUBLE) AS lon
+  FROM hdr WHERE p[1] = 'node'
+), ras AS (
+  SELECT CAST(floor(lon / 0.05) AS BIGINT) AS cx,
+         CAST(floor(lat / 0.05) AS BIGINT) AS cy, COUNT(*) AS n
+  FROM nd GROUP BY 1, 2
+), act AS (
+  SELECT cx, cy, n, (cx + 1048576) * 2097152 + (cy + 1048576) AS k
+  FROM ras WHERE n >= 5
+), e AS (
+  SELECT a.k AS ka, b.k AS kb
+  FROM act a JOIN act b ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1
+), reach(k, lbl) AS (
+  SELECT k, k FROM act
+  UNION
+  SELECT e.kb, r.lbl FROM reach r JOIN e ON e.ka = r.k
+), comp AS (
+  SELECT k, MIN(lbl) AS component FROM reach GROUP BY k
+)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n) AS BIGINT) AS total_n,
+       MIN(cx) AS min_cx, MAX(cx) AS max_cx,
+       MIN(cy) AS min_cy, MAX(cy) AS max_cy
+FROM act JOIN comp USING (k)
+GROUP BY 1
+"""
+
+
 def g_pip_assign(spark, sf_dir):
     """addr nodes → containing place polygons (cell covering + ray cast)."""
     from .operators.pip import assign_points_to_polygons

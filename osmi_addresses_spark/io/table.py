@@ -90,18 +90,25 @@ class TableStore:
             import sys
 
             print(f"[table] {name}: {elapsed}s", file=sys.stderr)
-        # per-partition metrics from the written files
+        # per-partition metrics from the written files (row counts come from
+        # parquet footers — metadata reads only, no data scan)
+        import pyarrow.parquet as _pq
+
         parts: dict[str, dict] = {}
         for dirpath, _dirnames, filenames in os.walk(path):
             rel = os.path.relpath(dirpath, path)
-            nbytes = sum(
-                os.path.getsize(os.path.join(dirpath, f))
-                for f in filenames
-                if f.endswith(".parquet")
-            )
-            nfiles = sum(1 for f in filenames if f.endswith(".parquet"))
-            if nfiles:
-                parts[rel] = {"files": nfiles, "bytes": nbytes}
+            pfiles = [f for f in filenames if f.endswith(".parquet")]
+            if not pfiles:
+                continue
+            nbytes = sum(os.path.getsize(os.path.join(dirpath, f)) for f in pfiles)
+            nrows = 0
+            for f in pfiles:
+                try:
+                    nrows += _pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+                except Exception:
+                    nrows = -1
+                    break
+            parts[rel] = {"files": len(pfiles), "bytes": nbytes, "rows": nrows}
         manifest = {
             "table": name,
             "write_seconds": elapsed,
