@@ -78,9 +78,6 @@ class _TownBuilder:
         )
         return self._nid
 
-    def node_at_id(self, ref: int) -> dict:
-        raise NotImplementedError
-
     def way(self, refs: list[int], tags: dict) -> int:
         self._wid += 1
         self.w.ways.append({"id": self._wid, "refs": refs, "tags": tags, "ts": _ts(self._wid)})

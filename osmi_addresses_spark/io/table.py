@@ -81,7 +81,15 @@ class TableStore:
         if os.path.exists(path):
             shutil.rmtree(path)
         t0 = time.time()
-        w = df.write.mode("errorifexists")  # osmi/main.cpp:50-57 semantics
+        # v1 committer for committed tables: task attempts write under
+        # _temporary/ and only the job commit renames them into place, so a
+        # failed/retried task attempt can never leak files into the table
+        # (the session default is the faster v2 committer, which is safe
+        # only for scratch/shuffle-like output). The option lands in the
+        # write job's hadoop conf (newHadoopConfWithOptions).
+        w = df.write.mode("errorifexists").option(  # osmi/main.cpp:50-57 semantics
+            "mapreduce.fileoutputcommitter.algorithm.version", "1"
+        )
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
@@ -95,9 +103,14 @@ class TableStore:
         import pyarrow.parquet as _pq
 
         parts: dict[str, dict] = {}
-        for dirpath, _dirnames, filenames in os.walk(path):
+        for dirpath, dirnames, filenames in os.walk(path):
+            # never count files from in-flight/aborted task attempts
+            dirnames[:] = [d for d in dirnames if not d.startswith("_")]
             rel = os.path.relpath(dirpath, path)
-            pfiles = [f for f in filenames if f.endswith(".parquet")]
+            pfiles = [
+                f for f in filenames
+                if f.endswith(".parquet") and f.startswith("part-")
+            ]
             if not pfiles:
                 continue
             nbytes = sum(os.path.getsize(os.path.join(dirpath, f)) for f in pfiles)

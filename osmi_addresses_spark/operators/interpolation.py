@@ -256,8 +256,15 @@ def _densify_batch(batch: pa.RecordBatch) -> pa.RecordBatch | None:
     dists = np.where(asc, d_asc, d_desc)
 
     # ---- value_along_multi, gathered per point ----
-    # searchsorted(cum_end, d, side='right') == count of cum_end <= d
-    idx = (cum_pad[w] <= dists[:, None]).sum(axis=1)
+    # searchsorted(cum_end, d, side='right') == count of cum_end <= d.
+    # Chunked so the transient (chunk × max_seg) gather matrix stays ≤ ~32 MB
+    # even when one long way meets a dense housenumber range in the same
+    # batch (the full P × max_seg broadcast was the worst-case memory blowup).
+    idx = np.empty(P, dtype=np.int64)
+    chunk = max(1, (4 << 20) // max(max_seg, 1))
+    for s in range(0, P, chunk):
+        e = min(s + chunk, P)
+        idx[s:e] = (cum_pad[w[s:e]] <= dists[s:e, None]).sum(axis=1)
     past = idx >= nseg[w]
     i = np.where(past, 0, idx)
     gseg = offs[w] + i  # global segment index (vertex index of segment start)

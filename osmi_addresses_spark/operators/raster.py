@@ -107,5 +107,12 @@ def polygonize_cells(raster: DataFrame, threshold: int = 1) -> DataFrame:
             F.max("cy").alias("max_cy"),
         )
     )
+    # Materialize the (small: one row per component) summary before dropping
+    # the cached edge list and final labels — unpersisting first would force
+    # a full recompute of the whole propagation when the caller evaluates
+    # `out` later, and leaving them cached leaks blocks for the session.
+    out = out.persist()
+    out.count()
     edges.unpersist()
+    labels.unpersist()
     return out

@@ -64,19 +64,39 @@ def run_all(
     """
     if store is not None:
 
+        def _is_documents_schema(pq_path: str) -> bool:
+            """Footer-only check that a parquet file has the documents shape
+            (doc_id + spans) before feeding it to the worker-side parser —
+            a warehouse-style directory of unrelated parquet must fall
+            through to the generic parse_documents path, not fail late with
+            an opaque parse error."""
+            try:
+                import pyarrow.parquet as _pq
+
+                names = set(_pq.ParquetFile(pq_path).schema_arrow.names)
+                return {"doc_id", "spans"} <= names
+            except Exception:
+                return False
+
         def _docs_parquet() -> str | None:
             """The documents parquet under source_path: either the path
             itself (submit_job --input) or <path>/documents.parquet
-            (fixture/testdata layout)."""
+            (fixture/testdata layout), schema-validated via a footer read."""
             if not source_path:
                 return None
             for cand in (os.path.join(source_path, "documents.parquet"), source_path):
                 if os.path.isfile(cand) and cand.endswith(".parquet"):
-                    return cand
-                if os.path.isdir(cand) and any(
-                    f.endswith(".parquet") for f in os.listdir(cand)
-                ):
-                    return cand
+                    if _is_documents_schema(cand):
+                        return cand
+                    continue
+                if os.path.isdir(cand):
+                    pfiles = [
+                        os.path.join(cand, f)
+                        for f in sorted(os.listdir(cand))
+                        if f.endswith(".parquet")
+                    ]
+                    if pfiles and _is_documents_schema(pfiles[0]):
+                        return cand
             return None
 
         def _entities():

@@ -33,7 +33,9 @@ DEFAULT_CONF = {
     "spark.hadoop.parquet.block.size": "33554432",
     # v2 file committer: task outputs move to the destination at task commit
     # instead of a serial driver-side rename pass at job commit — the rename
-    # pass is pure driver-idle time between stages.
+    # pass is pure driver-idle time between stages. Scratch-only: committed
+    # tables (TableStore.write) override this per-write back to v1 so a
+    # retried task attempt can never leak duplicate files into a table.
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     # Parquet scan hygiene.
     "spark.sql.parquet.filterPushdown": "true",
