@@ -840,9 +840,13 @@ WHERE common / (sa.sz + sb.sz - common) >= 0.35
 def d_minhash_lsh(spark, sf_dir):
     """MinHash (16 perms) + banding (4 bands × 4 rows) candidate pairs.
 
-    No SQL oracle: the hash function is Spark's xxhash64 (not available in
-    DuckDB) — the driver records a rows-only check; Jaccard ground truth is
-    cross-checked by d_ngram_jaccard.
+    Permutation family: one md5 per 5-gram yields A (60-bit, hex 1-15) and
+    B (56-bit, hex 16-29); perm j minimizes A + j·B — the classic
+    one-hash-plus-affine-combinations MinHash family, all arithmetic in
+    signed-int64 range (A < 2⁶⁰, 15·B < 2⁶⁰) and exactly mirrorable in the
+    DuckDB oracle (round 1 used xxhash64, which DuckDB lacks → no_oracle).
+    Band bucket = the 4 min-hashes of the band concatenated — a pure
+    equi-join key, uniform by construction.
     """
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     grams = d.select(
@@ -856,17 +860,24 @@ def d_minhash_lsh(spark, sf_dir):
             )
         ).alias("g"),
     )
+    h = F.md5(F.encode("g", "utf-8"))
+    ga = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    gb = F.conv(F.substring(h, 16, 14), 16, 10).cast("long")
+    grams = grams.select("doc_id", ga.alias("ga"), gb.alias("gb"))
     sigs = grams.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.col("g"), F.lit(j))).alias(f"h{j}") for j in range(16)]
+        *[F.min(F.col("ga") + F.lit(j) * F.col("gb")).alias(f"h{j}") for j in range(16)]
     )
-    bands = None
-    for b in range(4):
-        band = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * 4 + r}") for r in range(4)]).alias("bucket"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(",", *[F.col(f"h{b * 4 + r}") for r in range(4)])
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
     a = bands.alias("a")
     b2 = bands.alias("b")
     pairs = (
@@ -876,6 +887,32 @@ def d_minhash_lsh(spark, sf_dir):
         .distinct()
     )
     return pairs
+
+
+SQL_MINHASH_LSH = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, substr(text, CAST(i AS INT), 5) AS g
+    FROM documents, LATERAL UNNEST(range(1, GREATEST(length(text) - 4, 1) + 1)) AS t(i)
+  )
+), gh AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS ga,
+         CAST('0x' || substr(md5(g), 16, 14) AS BIGINT) AS gb
+  FROM grams
+), sigs AS (
+  SELECT doc_id, j, MIN(ga + j * gb) AS h
+  FROM gh, range(16) p(j)
+  GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS bucket
+  FROM sigs GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
 
 
 def s_ann_topk(spark, sf_dir):
@@ -1124,7 +1161,8 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "geo_interp_points": sql_interp_points(fx),
         "dedup_exact": SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
-        # dedup_minhash_lsh: intentionally no oracle (engine-specific hash)
+        "dedup_minhash_lsh": SQL_MINHASH_LSH,
+        "dedup_simhash": SQL_SIMHASH,
         "ann_topk": SQL_ANN_TOPK,
         "text_quality": SQL_QUALITY,
         "text_lang_id": SQL_LANG_ID,
@@ -1356,11 +1394,58 @@ WHERE a.node_id NOT IN (SELECT node_id FROM matched_street)
 """
 
 
-# -- SimHash / embedding near-dup (rows-only: engine-specific hash/LSH) ----
+# -- SimHash / embedding near-dup ------------------------------------------
 def d_simhash(spark, sf_dir):
     from .operators.dedup import simhash_near_dups
 
     return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# Mirrors operators/dedup.py simhash + banding exactly: md5-based 64-bit
+# token hash in two 32-bit halves, per-bit sign sums, 4×16-bit band join,
+# exact hamming verify. Arithmetic >> plus & 0xFFFF extracts the same band
+# bits as Spark's shiftrightunsigned (shifted-in sign bits land above the
+# mask for every band offset).
+SQL_SIMHASH = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, UNNEST(regexp_split_to_array(text, '[ \t\n\r\f]+')) AS t
+    FROM documents
+  ) WHERE t != ''
+), h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS lo
+  FROM toks
+), sums AS (
+  SELECT doc_id, i,
+         SUM(2 * (((CASE WHEN i < 32 THEN lo ELSE hi END) >> (i % 32)) & 1) - 1) AS s
+  FROM h, range(64) r(i)
+  GROUP BY 1, 2
+), sig0 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN
+               CASE WHEN i = 63 THEN -9223372036854775808
+                    ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+             ELSE 0 END) AS simhash
+  FROM sums GROUP BY 1
+), sig AS (
+  -- SUM() yields HUGEINT; cast back so xor/bit_count see the 64-bit pattern
+  -- (int128 sign extension would add 64 phantom bits to every hamming)
+  SELECT d.doc_id, CAST(COALESCE(g.simhash, 0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN sig0 g USING (doc_id)
+), bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS key
+  FROM sig, range(4) r(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                  a.simhash AS sa, b2.simhash AS sb
+  FROM bands a JOIN bands b2
+    ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
 
 
 def d_embedding_near_dup(spark, sf_dir):

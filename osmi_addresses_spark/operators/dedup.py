@@ -8,67 +8,86 @@ joins are equi-joins Catalyst can plan freely.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-SIMHASH_SCHEMA = T.StructType(
-    [T.StructField("doc_id", T.LongType()), T.StructField("simhash", T.LongType())]
-)
+
+def _md5_hash64(col):
+    """First 8 bytes of md5(col) as a signed-range-safe pair (hi32, lo32) —
+    hash value = hi32·2³² + lo32 big-endian, identical to DuckDB's
+    CAST('0x'||substr(md5(x),1,8)/9,8) AS BIGINT) halves (the oracle)."""
+    h = F.md5(F.encode(col, "utf-8"))
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return hi, lo
 
 
 def simhash(documents: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens (Arrow-batched numpy).
+    """64-bit SimHash over whitespace tokens — fully JVM-side.
 
-    token hash = first 8 bytes of md5 (stable across engines/versions);
-    sign-sum per bit, sign → bit.
+    explode(distinct tokens) → md5-based 64-bit token hash (32-bit halves so
+    every shift stays in signed long range) → 64 map-side-combined sign-sum
+    aggregates → signature reassembly. No Python in the plan (the round-1
+    per-token hashlib loop was this component's throughput floor); md5 keeps
+    the DuckDB oracle exact — xxhash64 is the drop-in if oracle parity is
+    not needed.
     """
-    import hashlib
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = str(text).split()
-                if not toks:
-                    out.append((doc_id, 0))
-                    continue
-                hs = np.array(
-                    [
-                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                        for t in set(toks)
-                    ],
-                    dtype=np.uint64,
-                )
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                    np.int64
-                )
-                sums = (2 * bits - 1).sum(axis=0)
-                sig = int(((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-                out.append((doc_id, sig - (1 << 64) if sig >= (1 << 63) else sig))
-            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
-
-    return documents.select(id_col, text_col).mapInPandas(gen, schema=SIMHASH_SCHEMA)
+    toks = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), r"[ \t\n\r\f]+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    hi, lo = _md5_hash64(F.col("t"))
+    terms = toks.select(
+        "doc_id",
+        *[
+            (
+                F.shiftright(lo if i < 32 else hi, i % 32)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"b{i}")
+            for i in range(64)
+        ],
+    )
+    sums = terms.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(64)]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(63):
+        sig = sig + F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    sig = sig + F.when(F.col("s63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(0)
+    sigs = sums.select("doc_id", sig.alias("simhash"))
+    # docs with no tokens → signature 0 (kept for row parity with input)
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(sigs, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit keys (any
     pair within hamming ≤ 3 shares at least one exact band), then verify
-    hamming distance exactly."""
-    sigs = simhash(documents).cache()
-    bands = None
-    for b in range(4):
-        band = sigs.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    hamming distance exactly. Banding is one posexplode pass (no 4-way
+    union rescanning the signature aggregate)."""
+    sigs = simhash(documents)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "key"),
+    )
     a, b2 = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
