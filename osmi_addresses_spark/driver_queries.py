@@ -1458,34 +1458,49 @@ def d_embedding_near_dup(spark, sf_dir):
 
 
 def sql_embedding_near_dup(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    """DuckDB oracle for d_embedding_near_dup: the identical hyperplane
-    signature (same seed-7 planes embedded as literals) + bucket self-join +
-    exact cosine, via list_inner_product / list_cosine_similarity."""
-    import numpy as np
+    """DuckDB oracle for d_embedding_near_dup: regenerates the identical
+    md5-derived ±1 hyperplane entries (operators/dedup.plane_signs), builds
+    the same 4 band buckets of 8 bits, self-joins per band, verifies exact
+    cosine — mirroring the banded LSH plan literally."""
     import pyarrow.parquet as pq
+
+    from .operators.dedup import plane_signs
 
     tbl = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
     )
     dim = len(tbl.column(0)[0])
-    planes = np.random.RandomState(7).randn(8, dim)
-    bucket_terms = []
-    for i in range(8):
-        lits = ", ".join(repr(float(x)) for x in planes[i])
-        bucket_terms.append(
-            f"(CASE WHEN list_inner_product(v, [{lits}]) > 0 THEN {1 << i} ELSE 0 END)"
-        )
-    bucket = "\n    + ".join(bucket_terms)
+    bands, rpb = 4, 8
+    signs = plane_signs(bands * rpb)
+    band_exprs = []
+    for b in range(bands):
+        terms = []
+        for r in range(rpb):
+            lits = ", ".join(f"{s}.0" for s in signs[b * rpb + r][:dim])
+            terms.append(
+                f"(CASE WHEN list_inner_product(v, [{lits}]) > 0 THEN {1 << r} ELSE 0 END)"
+            )
+        band_exprs.append("(" + " + ".join(terms) + ")")
+    buckets = ", ".join(band_exprs)
+    band_ids = ", ".join(str(b) for b in range(bands))
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), b AS (
-  SELECT vec_id, v, {bucket} AS bucket FROM e
+  SELECT vec_id, v,
+         UNNEST([{band_ids}]) AS band,
+         UNNEST([{buckets}]) AS bucket
+  FROM e
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM b a JOIN b b2
+    ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 )
-SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-       round(list_cosine_similarity(a.v, b2.v), 6) AS cosine
-FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.35
+SELECT vec_a, vec_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+FROM cand
+JOIN e ea ON ea.vec_id = vec_a
+JOIN e eb ON eb.vec_id = vec_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
 """
 
 

@@ -106,45 +106,105 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+LSH_MAX_DIM = 256
+
+
+def plane_signs(n_planes: int, max_dim: int = LSH_MAX_DIM) -> list[list[int]]:
+    """Rademacher (±1) hyperplane entries: sign(i,k) = +1 iff the first hex
+    digit of md5(f"{i}_{k}") < '8'. Deterministic, engine-agnostic (the
+    DuckDB oracle regenerates the identical literals), and valid for
+    random-projection LSH (±1 entries preserve the sign-of-dot-product
+    collision probability ∝ angle)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{i}_{k}".encode()).hexdigest()[0] < "8" else -1
+            for k in range(max_dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     id_col="vec_id",
     vec_col="embedding",
     threshold: float = 0.99,
-    n_planes: int = 8,
-    seed: int = 7,
+    bands: int = 4,
+    rows_per_band: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: random-hyperplane LSH buckets (deterministic
-    seed) → exact cosine verify within buckets. Scale path: the bucket join
-    replaces the O(n²) cross join; multiply bucket tables for higher recall."""
-    first = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = first["d"]
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
+    """Embedding-cosine near-dup: banded random-hyperplane LSH → exact
+    cosine verify within band buckets.
 
-    def sig_expr(vec):
-        bits = None
-        for i in range(n_planes):
-            dot = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(x)) for x in planes[i]]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            bits = bit if bits is None else (bits + bit)
+    bands × rows_per_band hyperplanes; a pair collides if ALL rows_per_band
+    bits of at least one band agree, so per-band bucket count is
+    2^rows_per_band per band — size rows_per_band ≈ log2(N / target bucket
+    size) so the within-bucket self-join stays near-linear as data grows
+    (round 1 used a single 8-bit table: a fixed 256-bucket n²/256 join at
+    scale). Plane entries are schema-independent constants (no driver
+    .first() to read dim) sliced to the runtime vector length.
+    """
+    n_planes = bands * rows_per_band
+    signs = plane_signs(n_planes)
+    sign_arrays = [
+        F.array(*[F.lit(float(s)) for s in row]) for row in signs
+    ]
+
+    vec = F.col("v")
+    guard = F.when(
+        F.size(vec) > LSH_MAX_DIM,
+        F.raise_error(f"embedding dim > {LSH_MAX_DIM}: raise LSH_MAX_DIM"),
+    )
+
+    def dot_signs(i):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.slice(sign_arrays[i], 1, F.size(vec)),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def band_bucket(b):
+        bits = F.lit(0)
+        for r in range(rows_per_band):
+            i = b * rows_per_band + r
+            bits = bits + F.when(dot_signs(i) > 0, F.lit(1 << r)).otherwise(0)
+        if b == 0:
+            # guard rides inside a used expression so the optimizer can't
+            # prune it: dims beyond the constant table fail loudly
+            bits = F.coalesce(guard.cast("int"), bits)
         return bits
 
     e = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", sig_expr(F.col("v")))
+    ).select(
+        "vid",
+        "v",
+        F.posexplode(F.array(*[band_bucket(b) for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
+    )
     a, b = e.alias("a"), e.alias("b")
     cand = (
-        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
         .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        # multi-band collisions of the same pair: one row per pair (va/vb
+        # are functionally dependent on the ids, so subset-dedup is exact)
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
     def dot(x, y):
@@ -154,11 +214,11 @@ def embedding_near_dups(
             lambda acc, v: acc + v,
         )
 
-    cos = dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
     )
     return cand.select(
-        F.col("a.vid").alias("vec_a"),
-        F.col("b.vid").alias("vec_b"),
+        "vec_a",
+        "vec_b",
         F.round(cos, 6).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
