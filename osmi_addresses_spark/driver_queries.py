@@ -1171,6 +1171,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "geo_pip_assign": sql_pip_assign(fx),
         "geo_street_not_found": sql_street_not_found(fx),
         "dedup_embedding_cosine": sql_embedding_near_dup(sf_dir),
+        "ann_ivf": sql_ann_ivf(),
         "geo_rasterize": sql_rasterize(fx),
         "geo_polygonize": sql_polygonize(fx),
     }
@@ -1505,8 +1506,49 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
 
 
 def s_ann_ivf(spark, sf_dir):
-    """IVF-bucketed approximate top-5 (scale path of ann_topk; recall vs the
-    exact baseline is asserted in tests, no SQL oracle — approximate op)."""
+    """IVF-bucketed approximate top-5 (scale path of ann_topk). Seed-mode
+    centroids + half-away 6dp rounding before every argmax/rank make the
+    whole pipeline — assignment, probe selection, bucket join, ranking —
+    exactly reproducible in the DuckDB oracle (round 1 was rows-only)."""
     from .operators.similarity import ann_ivf_topk
 
     return ann_ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, nlist=16, nprobe=6)
+
+
+def sql_ann_ivf(nlist: int = 16, nprobe: int = 6, k: int = 5) -> str:
+    """DuckDB mirror of s_ann_ivf: same md5-ordered seed centroids, same
+    rounded-cosine argmax assignment (ties → lowest centroid id), same
+    probe lists, same bucket join and final ranking."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT rn - 1 AS cid, cv FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+           v AS cv
+    FROM e
+  ) WHERE rn <= {nlist}
+), sims AS (
+  SELECT e.vec_id, e.v, c.cid,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS sim
+  FROM e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id AS n_id, v AS nv, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS q_id, v AS qv, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM sims WHERE vec_id < 5
+  ) WHERE rn <= {nprobe}
+), j AS (
+  SELECT p.q_id, a.n_id,
+         round(list_cosine_similarity(p.qv, a.nv), 6) AS score
+  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.n_id != p.q_id
+)
+SELECT q_id, n_id, rank, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+  FROM j
+) WHERE rank <= {k}
+"""

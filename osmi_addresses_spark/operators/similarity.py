@@ -5,15 +5,28 @@ Two tiers, as a training-data pipeline needs them:
 - exact brute-force cosine top-k (driver_queries.s_ann_topk): the oracle-
   checkable baseline — O(Q·N) dot products, all JVM Column expressions.
 - `ann_ivf_topk` (here): the scale path — IVF coarse quantization. Vectors
-  are assigned to their nearest of `nlist` deterministic centroids (one
-  shuffle-free Arrow-batched matmul per partition); each query probes its
-  `nprobe` closest centroid lists and brute-forces only those buckets.
-  Candidate volume drops from Q·N to ~Q·N·(nprobe/nlist) with recall
-  controlled by nprobe (tests assert recall@k against the exact baseline).
+  are assigned to their nearest of `nlist` centroids (one shuffle-free
+  Arrow-batched matmul per partition); each query probes its `nprobe`
+  closest centroid lists and brute-forces only those buckets. Candidate
+  volume drops from Q·N to ~Q·N·(nprobe/nlist).
+
+Centroid construction, two modes:
+
+- seeds (default): the first `nlist` vectors in md5(id)-hash order — fully
+  deterministic AND exactly mirrorable in ANSI SQL, which is what makes the
+  `ann_ivf` driver query oracle-checkable end-to-end (every similarity is
+  rounded half-away-from-zero to 6 dp before any argmax/rank decision, so
+  both engines take identical tie-break paths).
+- k-means (`refine_iters > 0`): distributed Lloyd refinement — per-partition
+  partial sums via mapInArrow, elementwise reduce via posexplode + hash
+  aggregate (nlist×dim rows to the driver per iteration, kilobytes), then
+  re-broadcast. Used by the scale path where nlist ≈ √N keeps bucket sizes
+  ~√N (the recall tests exercise nlist > 256).
 
 At 100 TB the same plan holds: centroids are a broadcast-sized side
-(kilobytes), assignment is a narrow map, and the probe join is an equi-join
-on centroid id — shuffle volume scales with the bucketed candidates only.
+(nlist·dim doubles), assignment is a narrow map, and the probe join is an
+equi-join on centroid id — shuffle volume scales with the bucketed
+candidates only.
 """
 
 from __future__ import annotations
@@ -33,40 +46,43 @@ def _unit_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def _deterministic_centroids(
+def _round_half_away(x: np.ndarray, digits: int = 6) -> np.ndarray:
+    """Half-away-from-zero rounding — the semantics of Spark's F.round and
+    DuckDB's round(); np.round is half-to-even and would diverge on exact
+    .5 boundaries."""
+    p = 10.0**digits
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
+def seed_centroids(
     embeddings: DataFrame,
     nlist: int,
-    id_col: str,
-    vec_col: str,
-    sample: int = 4096,
-    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> np.ndarray:
-    """nlist unit centroids: seeds = first nlist vectors in stable id-hash
-    order, refined with a few spherical-k-means (Lloyd) iterations over a
-    hash-ordered sample — fully deterministic (no RNG), driver-side on a
-    bounded sample, reproducible across runs and cluster sizes."""
+    """First `nlist` vectors in (md5(id-as-string), id) order — a stable
+    pseudo-random sample both engines can reproduce (Spark orderBy here,
+    ROW_NUMBER OVER the same ordering in the DuckDB oracle). Raw vectors;
+    similarity to a centroid is full cosine, so normalization is irrelevant
+    to the ordering."""
     rows = (
         embeddings.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .withColumn("_h", F.hash(F.col("i")))
-        .orderBy("_h", "i")
-        .limit(sample)
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(nlist)
         .collect()
     )
-    x = _unit_rows(np.array([r["v"] for r in rows], dtype=np.float64))
-    c = x[:nlist].copy()
-    for _ in range(iters):
-        assign = np.argmax(x @ c.T, axis=1)
-        for j in range(len(c)):
-            members = x[assign == j]
-            if len(members):
-                c[j] = members.mean(axis=0)
-        c = _unit_rows(c)
-    return c
+    if not rows:
+        raise ValueError("seed_centroids: embeddings table is empty")
+    return np.array([r["v"] for r in rows], dtype=np.float64)
 
 
 def _assign_batches(cn: np.ndarray, vec_field: str, out_name: str, top: int):
-    """mapInArrow generator: append argmax-cosine centroid ids (top=1) or
-    the top-`top` probe list for queries."""
+    """mapInArrow generator: append the argmax-cosine centroid id (top=1)
+    or the top-`top` probe list. Similarities are rounded half-away to 6 dp
+    before the argmax / sort so ties break identically to the SQL oracle
+    (round DESC, centroid id ASC — np.argmax and kind='stable' argsort both
+    take the first/lowest index on ties)."""
+    cn_unit = _unit_rows(cn)
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -81,14 +97,16 @@ def _assign_batches(cn: np.ndarray, vec_field: str, out_name: str, top: int):
             vals = vals[base : offs[-1]]
             dim = cn.shape[1]
             m = vals.reshape(-1, dim)
-            sims = _unit_rows(m) @ cn.T  # batch × nlist
+            sims = _round_half_away(_unit_rows(m) @ cn_unit.T)  # batch × nlist
             if top == 1:
                 out = pa.array(np.argmax(sims, axis=1).astype(np.int32))
                 yield pa.RecordBatch.from_arrays(
                     [*batch.columns, out], names=[*batch.schema.names, out_name]
                 )
             else:
-                idx = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
+                idx = np.argsort(-sims, axis=1, kind="stable")[:, :top].astype(
+                    np.int32
+                )
                 lists = pa.FixedSizeListArray.from_arrays(
                     pa.array(idx.ravel()), top
                 ).cast(pa.list_(pa.int32()))
@@ -99,30 +117,124 @@ def _assign_batches(cn: np.ndarray, vec_field: str, out_name: str, top: int):
     return gen
 
 
+def _assigned(embeddings: DataFrame, cn: np.ndarray, id_col: str, vec_col: str):
+    base = embeddings.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    schema = T.StructType(
+        list(base.schema.fields) + [T.StructField("centroid", T.IntegerType())]
+    )
+    return base.mapInArrow(_assign_batches(cn, "nv", "centroid", 1), schema)
+
+
+def distributed_kmeans_centroids(
+    embeddings: DataFrame,
+    nlist: int,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means over the FULL table (not a driver sample): each
+    Lloyd iteration assigns via the broadcast centroid matrix (mapInArrow
+    matmul, no shuffle), emits per-batch partial sums (centroid, count,
+    vector-sum), and reduces them with posexplode + one hash aggregate —
+    nlist×dim summary rows come back to the driver per iteration, never
+    data rows. Empty clusters keep their previous centroid."""
+    cn = seed_centroids(embeddings, nlist, id_col, vec_col)
+    nlist = cn.shape[0]
+    dim = cn.shape[1]
+    src = embeddings.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("centroid", T.IntegerType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    for _ in range(iters):
+        cn_unit = _unit_rows(cn)
+
+        def partials(batches: Iterator[pa.RecordBatch], _cu=cn_unit):
+            for batch in batches:
+                if not batch.num_rows:
+                    continue
+                col = batch.column("nv")
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                offs = col.offsets.to_numpy().astype(np.int64)
+                vals = np.asarray(col.values, dtype=np.float64)
+                m = vals[offs[0] : offs[-1]].reshape(-1, dim)
+                mu = _unit_rows(m)
+                assign = np.argmax(mu @ _cu.T, axis=1)
+                ids = np.unique(assign)
+                sums = np.zeros((len(ids), dim))
+                cnts = np.zeros(len(ids), dtype=np.int64)
+                for j, c in enumerate(ids):
+                    sel = assign == c
+                    sums[j] = mu[sel].sum(axis=0)
+                    cnts[j] = int(sel.sum())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids.astype(np.int32)),
+                        pa.array(cnts),
+                        pa.array(list(sums), pa.list_(pa.float64())),
+                    ],
+                    names=["centroid", "cnt", "vsum"],
+                )
+
+        agg = (
+            src.mapInArrow(partials, partial_schema)
+            .select("centroid", "cnt", F.posexplode("vsum").alias("pos", "x"))
+            .groupBy("centroid", "pos")
+            .agg(F.sum("cnt").alias("n"), F.sum("x").alias("s"))
+            .collect()
+        )
+        new_cn = cn.copy()
+        counts = np.zeros(nlist, dtype=np.int64)
+        acc = np.zeros((nlist, dim))
+        for r in agg:
+            acc[r["centroid"], r["pos"]] = r["s"]
+            if r["pos"] == 0:  # cnt is duplicated per pos; read it once
+                counts[r["centroid"]] = r["n"]
+        nz = counts > 0
+        new_cn[nz] = acc[nz] / counts[nz, None]
+        cn = _unit_rows(new_cn)
+    return cn
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
-    nlist: int = 16,
+    nlist: int | None = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_pred=None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k neighbours: (q_id, n_id, rank, score).
 
+    ``nlist=None`` sizes the index as ~√N (one count job) so both the
+    bucket count and the per-bucket candidate volume grow as √N.
+    ``refine_iters > 0`` switches from SQL-mirrorable seed centroids to
+    distributed k-means (better recall, no SQL oracle).
     ``query_pred``: Column predicate selecting the query rows (default
     ``vec_id < 5`` to mirror the exact baseline).
     """
     if query_pred is None:
         query_pred = F.col(id_col) < 5
-    cn = _deterministic_centroids(embeddings, nlist, id_col, vec_col)
+    if nlist is None:
+        n = embeddings.count()
+        nlist = max(16, int(np.sqrt(n)))
+    if refine_iters > 0:
+        cn = distributed_kmeans_centroids(
+            embeddings, nlist, iters=refine_iters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        cn = seed_centroids(embeddings, nlist, id_col, vec_col)
     nprobe = min(nprobe, cn.shape[0])
 
-    base = embeddings.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
-    schema_a = T.StructType(
-        list(base.schema.fields) + [T.StructField("centroid", T.IntegerType())]
-    )
-    bucketed = base.mapInArrow(_assign_batches(cn, "nv", "centroid", 1), schema_a)
+    bucketed = _assigned(embeddings, cn, id_col, vec_col)
 
     q = embeddings.filter(query_pred).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")

@@ -1,8 +1,13 @@
 """IVF ANN (operators/similarity.py): recall against the exact brute-force
-baseline, and determinism across runs (fixed centroids, no RNG)."""
+baseline, determinism, empty-input guard, and the k-means scale path with
+nlist > 256 (nlist ≈ √N)."""
 
 import os
 import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -19,12 +24,68 @@ def test_ann_ivf_recall_and_determinism(spark):
     approx = {(q, n) for q, n, _ in approx_rows}
     assert exact, "baseline returned nothing"
     recall = len(approx & exact) / len(exact)
-    # nprobe=4 of nlist=16 → candidate volume ~25% of brute force; the
-    # deterministic (non-kmeans) centroids trade some recall for
-    # reproducibility — 0.6 is the floor we promise
+    # nprobe=6 of nlist=16 → candidate volume ~38% of brute force; the
+    # deterministic seed centroids (no k-means) trade some recall for
+    # SQL-oracle reproducibility — 0.6 is the floor we promise
     assert recall >= 0.6, f"recall@5 {recall:.2f} < 0.6"
 
     again = sorted(
         (r["q_id"], r["n_id"], r["rank"]) for r in s_ann_ivf(spark, SF_DIR).collect()
     )
     assert again == approx_rows, "IVF result not deterministic"
+
+
+def test_seed_centroids_empty_guard(spark):
+    from osmi_addresses_spark.operators.similarity import seed_centroids
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        seed_centroids(empty, 16)
+
+
+def _synthetic_embeddings(spark, n: int, dim: int = 64, n_clusters: int = 500):
+    """Deterministic clustered vectors, all JVM-side: cluster center from
+    xxhash64(id % n_clusters, k), plus small per-id hash noise. Clustered
+    structure is what makes recall a meaningful metric (pure random
+    high-dim vectors have no stable neighbors to recall)."""
+
+    def h(a, b):
+        return F.pmod(F.xxhash64(a, b), F.lit(1000003)) / 500001.5 - 1.0
+
+    cid = F.col("id") % n_clusters
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda k: (h(cid, k) + 0.05 * h(F.col("id"), k + dim)).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def test_ann_ivf_kmeans_scale(spark):
+    """Scale path: nlist = √N > 256 with distributed k-means refinement.
+    Recall@5 vs the exact cosine top-5 over the same collected vectors (the
+    baseline reads the vectors Spark produced, so no cross-engine float
+    noise enters the measurement)."""
+    from osmi_addresses_spark.operators.similarity import ann_ivf_topk
+
+    N, n_q = 70_000, 5
+    e = _synthetic_embeddings(spark, N).cache()
+    approx = ann_ivf_topk(e, k=5, nlist=None, nprobe=12, refine_iters=2)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["q_id"], set()).add(r["n_id"])
+
+    rows = e.orderBy("vec_id").collect()
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mu = m / np.linalg.norm(m, axis=1, keepdims=True)
+    hits = total = 0
+    for q in range(n_q):
+        sims = mu @ mu[q]
+        sims[q] = -np.inf
+        top = set(np.argsort(-sims, kind="stable")[:5].tolist())
+        hits += len(top & got.get(q, set()))
+        total += 5
+    e.unpersist()
+    recall = hits / total
+    assert recall >= 0.8, f"kmeans IVF recall@5 {recall:.2f} < 0.8 (nlist≈√N)"
