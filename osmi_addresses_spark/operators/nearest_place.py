@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from .. import MAXDIST
 from ..functions import geom_sql as G
+from ..functions.cells import cell_of, covering_cells
 
 # addr input contract: akey, obj_type, obj_id, lookup_name, lon, lat, via
 #   via = 'street' (addr:street naming a place,
@@ -22,15 +23,34 @@ from ..functions import geom_sql as G
 
 
 def match_places(addr: DataFrame, places: DataFrame) -> DataFrame:
-    """→ one row per matched (addr, via): winner point + is_nody flag."""
+    """→ one row per matched (addr, via): winner point + is_nody flag.
+
+    Joined on (name, cell) — the place side registers every cell its
+    MAXDIST-padded point bbox intersects, the address side its single
+    containing cell — so a planet-hot place name ("Springfield") fans out
+    per (name, cell), not per name, exactly like the street side. The
+    covering strictly supersets the reference's Euclidean-degree MAXDIST
+    disc (the lon pad uses tol/cos ≥ tol), and the exact distance filter
+    below re-applies the reference predicate, so match rows are unchanged.
+    An address has ONE cell, so no (addr, place) pair can duplicate."""
     p = places.select(
         F.col("name"),
         F.col("is_nody"),
         F.col("obj_seq"),
         F.col("lon").alias("plon"),
         F.col("lat").alias("plat"),
+    ).withColumn(
+        "cell",
+        F.explode(
+            covering_cells(
+                F.col("plon"), F.col("plon"), F.col("plat"), F.col("plat"), MAXDIST
+            )
+        ),
     )
-    cand = addr.join(p, addr["lookup_name"] == p["name"], "inner").drop("name")
+    a = addr.withColumn("cell", cell_of(F.col("lon"), F.col("lat")))
+    cand = a.join(
+        p, (a["lookup_name"] == p["name"]) & (a["cell"] == p["cell"]), "inner"
+    ).drop("name", "cell")
     cand = cand.filter(
         G.point_dist(F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat")) < F.lit(MAXDIST)
     )
