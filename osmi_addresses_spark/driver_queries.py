@@ -388,6 +388,48 @@ WHERE EXISTS (SELECT 1 FROM ntag t WHERE t.node_id = n.node_id AND
 """
 
 
+# bbox window over a committed layer (R-tree window-query analog,
+# /root/reference/test/test_engine.pl:33-57). The layer is written once per
+# fixture (cell-clustered files), then read back through the pushdown path.
+_WINDOW_BBOX = (8.775, 47.245, 8.845, 47.305)
+_BBOX_STORE_CACHE: dict[str, object] = {}
+
+
+def g_bbox_window(spark, sf_dir):
+    import tempfile
+
+    from .io.table import TableStore
+    from .io.window import read_layer_bbox
+    from .plans.pipeline import write_layers
+
+    fx = fixture_path(sf_dir)
+    if fx not in _BBOX_STORE_CACHE:
+        d = parsed(spark, sf_dir)
+        store = TableStore(tempfile.mkdtemp(prefix="osmi_window_"))
+        write_layers({"entrances": L.entrances(d["nodes"])}, store, ["entrances"])
+        _BBOX_STORE_CACHE[fx] = store
+    w = read_layer_bbox(spark, _BBOX_STORE_CACHE[fx], "entrances", _WINDOW_BBOX)
+    return w.select(
+        "node_id",
+        "lastchange",
+        "entrance",
+        F.col("geom.lon").alias("lon"),
+        F.col("geom.lat").alias("lat"),
+    )
+
+
+def sql_bbox_window(fx):
+    w, s, e, n = _WINDOW_BBOX
+    return _fx_prefix(fx) + f"""
+SELECT CAST(n.node_id AS VARCHAR) AS node_id, n.lastchange,
+       {_ntag_col('entrance', 'entrance')}, n.lon, n.lat
+FROM nd n
+WHERE EXISTS (SELECT 1 FROM ntag t WHERE t.node_id = n.node_id AND
+              (t.k = 'entrance' OR (t.k = 'building' AND t.v = 'entrance')))
+  AND n.lon >= {w} AND n.lon <= {e} AND n.lat >= {s} AND n.lat <= {n}
+"""
+
+
 def g_postal(spark, sf_dir):
     d = parsed(spark, sf_dir)
     return L.ways_with_postal_code(d["ways_p2"]).drop("geom")
@@ -1108,6 +1150,7 @@ def all_queries():
         "event_window_agg": q_event_window_agg,
         "geo_entity_counts": g_entity_counts,
         "geo_entrances": g_entrances,
+        "geo_bbox_window": g_bbox_window,
         "geo_ways_with_postal_code": g_postal,
         "geo_addrx_on_nonclosed_way": g_addrx_nonclosed,
         "geo_ways_with_addresses": g_ways_with_addresses,
@@ -1151,6 +1194,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "event_window_agg": SQL_EVENT_WINDOW_AGG,
         "geo_entity_counts": sql_entity_counts(fx),
         "geo_entrances": sql_entrances(fx),
+        "geo_bbox_window": sql_bbox_window(fx),
         "geo_ways_with_postal_code": sql_postal(fx),
         "geo_addrx_on_nonclosed_way": sql_addrx_nonclosed(fx),
         "geo_ways_with_addresses": sql_ways_with_addresses(fx),

@@ -73,6 +73,7 @@ class TableStore:
         df: DataFrame,
         partition_by: list[str] | None = None,
         lineage: dict | None = None,
+        options: dict | None = None,
     ) -> str:
         """Write + commit. The data lands first; the manifest (the commit
         point) is renamed into place last — a crashed write leaves no
@@ -90,6 +91,8 @@ class TableStore:
         w = df.write.mode("errorifexists").option(  # osmi/main.cpp:50-57 semantics
             "mapreduce.fileoutputcommitter.algorithm.version", "1"
         )
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)

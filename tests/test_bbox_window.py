@@ -1,0 +1,105 @@
+"""bbox window reads over cell-clustered layers (io/window.py): correctness
+of point and linestring selection, parquet predicate pushdown, and
+row-group-stat prunability — the R-tree-window-query analog
+(/root/reference/test/test_engine.pl:33-57)."""
+
+import os
+import sys
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from osmi_addresses_spark.functions.cells import cell_of  # noqa: E402
+from osmi_addresses_spark.io.table import TableStore  # noqa: E402
+from osmi_addresses_spark.io.window import bbox_filter, read_layer_bbox  # noqa: E402
+
+BBOX = (10.0, 0.0, 20.0, 1.0)  # west, south, east, north
+
+
+def _point_layer(spark, n=60_000):
+    # points strung along lon ∈ [0, 60), lat ∈ [0, 1)
+    return spark.range(n).select(
+        F.col("id").cast("string").alias("node_id"),
+        F.struct(
+            (F.col("id") * 0.001).alias("lon"),
+            (F.pmod(F.col("id"), 1000) * 0.001).alias("lat"),
+        ).alias("geom"),
+    )
+
+
+def test_point_bbox_read_pushdown_and_pruning(spark, tmp_path):
+    store = TableStore(str(tmp_path / "store"))
+    df = _point_layer(spark)
+    clustered = (
+        df.withColumn("_cell", cell_of(F.col("geom.lon"), F.col("geom.lat")))
+        .repartition(4)
+        .sortWithinPartitions("_cell")
+        .drop("_cell")
+    )
+    # small row groups so one file holds many prunable groups
+    store.write("layer_pts", clustered, options={"parquet.block.size": "65536"})
+
+    got = read_layer_bbox(spark, store, "pts", BBOX)
+    want = df.filter(
+        (F.col("geom.lon") >= BBOX[0])
+        & (F.col("geom.lon") <= BBOX[2])
+        & (F.col("geom.lat") >= BBOX[1])
+        & (F.col("geom.lat") <= BBOX[3])
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+    # the window reaches the parquet scan as pushed filters on the leaves
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "geom.lon" in plan, plan[:2000]
+
+    # row-group min/max stats let most groups be skipped: the window covers
+    # 1/6 of the lon range, so well under half the row groups can overlap
+    total = overlapping = 0
+    root = store._dir("layer_pts")
+    for f in os.listdir(root):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(root, f)).metadata
+        sch = md.schema
+        lon_idx = next(
+            i for i in range(len(sch)) if sch.column(i).path == "geom.lon"
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(lon_idx).statistics
+            total += 1
+            if st.min <= BBOX[2] and st.max >= BBOX[0]:
+                overlapping += 1
+    assert total >= 8, f"expected many row groups, got {total}"
+    assert overlapping < total / 2, (
+        f"cell clustering should localize row groups: {overlapping}/{total} overlap"
+    )
+
+
+def test_linestring_bbox_intersects(spark, tmp_path):
+    store = TableStore(str(tmp_path / "store"))
+    rows = [
+        ("in", [(12.0, 0.5), (13.0, 0.6)]),        # fully inside
+        ("crossing", [(5.0, 0.5), (25.0, 0.5)]),   # bbox spans the window
+        ("outside", [(30.0, 0.5), (31.0, 0.5)]),   # disjoint
+        ("touch_edge", [(20.0, 1.0), (21.0, 2.0)]),  # corner touches
+    ]
+    df = spark.createDataFrame(
+        [(n, [{"lon": x, "lat": y} for x, y in cs]) for n, cs in rows],
+        "way_id string, geom array<struct<lon:double,lat:double>>",
+    )
+    store.write("layer_lines", df)
+    got = {r["way_id"] for r in read_layer_bbox(spark, store, "lines", BBOX).collect()}
+    assert got == {"in", "crossing", "touch_edge"}
+
+
+def test_bbox_filter_matches_oracle_semantics(spark):
+    # inclusive bounds, like OGR SetSpatialFilterRect on rectangles
+    df = spark.createDataFrame(
+        [("edge", {"lon": 10.0, "lat": 0.0}), ("out", {"lon": 9.999, "lat": 0.0})],
+        "node_id string, geom struct<lon:double,lat:double>",
+    )
+    got = {r["node_id"] for r in df.filter(bbox_filter(df, BBOX)).collect()}
+    assert got == {"edge"}
