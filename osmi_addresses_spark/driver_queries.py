@@ -1132,6 +1132,64 @@ FROM m GROUP BY 1
 """
 
 
+def m_phash_dedup(spark, sf_dir):
+    """Perceptual-hash dedup over decoded media: per phash group, how many
+    span occurrences / distinct refs it covers and which ref is kept. The
+    decode is the deterministic synthetic codec (operators/media.py) — md5
+    chain → 64-pixel buffer → average-hash — computed JVM-side on the hot
+    path and cross-checked against the Arrow decode path in tests."""
+    from .operators.media import media_phash_col, media_spans
+
+    d = parsed(spark, sf_dir)
+    spans = media_spans(d["entities"])
+    ph = (
+        spans.select("media_ref")
+        .distinct()
+        .withColumn("phash", media_phash_col(F.col("media_ref")))
+    )
+    return (
+        spans.join(ph, "media_ref")
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("media_ref").alias("n_refs"),
+            F.min("media_ref").alias("keep_ref"),
+        )
+    )
+
+
+def sql_phash_dedup(fx):
+    return f"""
+WITH sp AS (
+  SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{fx}/documents.parquet')
+), m AS (
+  SELECT doc_id, s.media_ref FROM sp WHERE s.kind = 'media'
+), refs AS (
+  SELECT DISTINCT media_ref FROM m
+), chain AS (
+  SELECT media_ref,
+         md5(media_ref) || md5(md5(media_ref)) || md5(md5(md5(media_ref)))
+           || md5(md5(md5(md5(media_ref)))) AS hexbuf
+  FROM refs
+), px AS (
+  SELECT media_ref, j,
+         CAST('0x' || substr(hexbuf, CAST(j * 2 + 1 AS INT), 2) AS INT) AS p
+  FROM chain, range(64) r(j)
+), tot AS (
+  SELECT media_ref, SUM(p) AS total FROM px GROUP BY 1
+), ph AS (
+  SELECT px.media_ref,
+         string_agg(CASE WHEN p * 64 > total THEN '1' ELSE '0' END, '' ORDER BY j) AS phash
+  FROM px JOIN tot ON tot.media_ref = px.media_ref
+  GROUP BY 1
+)
+SELECT ph.phash, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT m.media_ref) AS n_refs, MIN(m.media_ref) AS keep_ref
+FROM m JOIN ph ON ph.media_ref = m.media_ref
+GROUP BY 1
+"""
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -1167,6 +1225,7 @@ def all_queries():
         "text_lang_id": t_lang_id,
         "text_fingerprint": t_fingerprint,
         "media_refs": m_media_refs,
+        "media_phash_dedup": m_phash_dedup,
         "geo_pip_assign": g_pip_assign,
         "geo_street_not_found": g_street_not_found,
         "dedup_simhash": d_simhash,
@@ -1212,6 +1271,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "text_lang_id": SQL_LANG_ID,
         "text_fingerprint": SQL_FINGERPRINT,
         "media_refs": sql_media_refs(fx),
+        "media_phash_dedup": sql_phash_dedup(fx),
         "geo_pip_assign": sql_pip_assign(fx),
         "geo_street_not_found": sql_street_not_found(fx),
         "dedup_embedding_cosine": sql_embedding_near_dup(sf_dir),

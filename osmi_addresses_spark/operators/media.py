@@ -59,6 +59,82 @@ def media_spans(entities: DataFrame) -> DataFrame:
     )
 
 
+# ---- synthetic codec + perceptual hash -----------------------------------
+# The "image" a media_ref decodes to is a deterministic 64-byte pixel
+# buffer: the md5 chain of the ref (4 × 16 bytes). It stands in for a real
+# codec (none in this container) but gives every downstream component —
+# binary buffer column, perceptual hashing, phash dedup — real data with a
+# cross-engine-reproducible definition, so the dedup is oracle-checked
+# instead of stubbed.
+
+PIXELS = 64
+
+
+def _fake_pixels(ref: str) -> bytes:
+    h, out = ref.encode(), b""
+    for _ in range(PIXELS // 16):
+        hx = hashlib.md5(h).hexdigest()
+        out += bytes.fromhex(hx)
+        h = hx.encode()  # chain over the hex string (mirrors the SQL md5)
+    return out
+
+
+def decode_media_buffers(spans: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """The decode step as real plumbing: distinct refs → (media_ref,
+    pixels binary). Arrow-batched mapInPandas; the per-buffer md5 chain is
+    the codec stand-in (a real decoder is per-buffer work too)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf[ref_col],
+                    "pixels": [_fake_pixels(r) for r in pdf[ref_col]],
+                }
+            )
+
+    return spans.select(ref_col).distinct().mapInPandas(
+        gen,
+        schema=T.StructType(
+            [
+                T.StructField("media_ref", T.StringType()),
+                T.StructField("pixels", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def phash_from_pixels(pixels: bytes) -> str:
+    """Average-hash of a decoded buffer: bit j = pixel j > mean. Returned as
+    a 64-char '0'/'1' string (engine-agnostic, no sign-bit gymnastics)."""
+    mean_x64 = sum(pixels)  # compare p*64 > total — integer-exact
+    return "".join("1" if p * PIXELS > mean_x64 else "0" for p in pixels)
+
+
+def media_phash_col(ref_col) -> "F.Column":
+    """The same decode + average-hash as a pure Column expression (JVM md5
+    chain), used on the query hot path — bit-identical to
+    phash_from_pixels(_fake_pixels(ref)) and to the DuckDB oracle."""
+    h = F.md5(F.encode(ref_col, "utf-8"))
+    hexbuf = h
+    for _ in range(PIXELS // 16 - 1):
+        h = F.md5(F.encode(h, "utf-8"))
+        hexbuf = F.concat(hexbuf, h)
+    pixels = F.transform(
+        F.sequence(F.lit(0), F.lit(PIXELS - 1)),
+        lambda j: F.conv(hexbuf.substr(j * 2 + 1, F.lit(2)), 16, 10).cast("int"),
+    )
+    total = F.aggregate(pixels, F.lit(0), lambda acc, x: acc + x)
+    return F.array_join(
+        F.transform(
+            pixels, lambda p: F.when(p * PIXELS > total, "1").otherwise("0")
+        ),
+        "",
+    )
+
+
 def extract_media_features(entities: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over media spans (mapInPandas).
 

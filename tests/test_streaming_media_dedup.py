@@ -131,3 +131,30 @@ def test_embedding_near_dups(spark):
     for i in range(4):
         assert (i * 2, i * 2 + 1) in got
     assert all(b - a == 1 for a, b in got)
+
+
+def test_media_phash_paths_agree(spark, small_docs):
+    """The Arrow decode path (binary buffers) and the JVM Column path must
+    produce identical perceptual hashes — they are two implementations of
+    the same synthetic codec."""
+    from osmi_addresses_spark.operators.media import (
+        decode_media_buffers,
+        media_phash_col,
+        media_spans,
+        phash_from_pixels,
+    )
+
+    entities = parse_documents(small_docs)
+    spans = media_spans(entities)
+    bufs = decode_media_buffers(spans).collect()
+    assert bufs and all(len(r["pixels"]) == 64 for r in bufs)
+    via_buffer = {r["media_ref"]: phash_from_pixels(r["pixels"]) for r in bufs}
+    via_column = {
+        r["media_ref"]: r["phash"]
+        for r in spans.select("media_ref")
+        .distinct()
+        .withColumn("phash", media_phash_col(F.col("media_ref")))
+        .collect()
+    }
+    assert via_buffer == via_column
+    assert all(len(p) == 64 and set(p) <= {"0", "1"} for p in via_buffer.values())
