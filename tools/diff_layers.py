@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Diff two TableStore output directories layer by layer — the analog of the
+reference's regression-diff tooling (/root/reference/test/compare_sqlite.sh:49-96,
+/root/reference/test/create_sqlite_diff.sh:120-146), which dumps each
+SpatiaLite table from two runs and diffs row sets.
+
+Per table present in either store: schema comparison + exceptAll row diff in
+both directions (order-insensitive, duplicate-preserving — the same
+semantics the row-for-row e2e oracle uses). Missing tables count all rows of
+the other side as differences.
+
+Usage:
+  python tools/diff_layers.py DIR_A DIR_B [--tables t1,t2] [--cores N] [--sample K]
+
+Exit status 0 iff every compared table is identical.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def table_names(root: str) -> set[str]:
+    return {
+        f[: -len(".manifest.json")]
+        for f in os.listdir(root)
+        if f.endswith(".manifest.json")
+    }
+
+
+def _comparable(df):
+    """Set operations reject MAP columns; replace top-level maps with their
+    entry list sorted by key (order-canonical, value-equivalent)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.MapType):
+            cols.append(
+                F.array_sort(F.map_entries(F.col(f.name))).alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def diff_stores(spark, dir_a: str, dir_b: str, tables=None, sample: int = 3) -> dict:
+    """→ {table: {"only_a": n, "only_b": n, "schema_match": bool,
+    "sample_only_a": [...], "sample_only_b": [...]}}"""
+    from osmi_addresses_spark.io.table import TableStore
+
+    sa, sb = TableStore(dir_a), TableStore(dir_b)
+    names = set(tables) if tables else (table_names(dir_a) | table_names(dir_b))
+    report: dict[str, dict] = {}
+    for name in sorted(names):
+        entry: dict = {"schema_match": True, "only_a": 0, "only_b": 0}
+        in_a, in_b = sa.exists(name), sb.exists(name)
+        if not (in_a and in_b):
+            df = sa.read(spark, name) if in_a else sb.read(spark, name)
+            n = df.count()
+            entry["schema_match"] = False
+            entry["only_a" if in_a else "only_b"] = n
+            entry["missing_in"] = "b" if in_a else "a"
+            report[name] = entry
+            continue
+        da, db = sa.read(spark, name), sb.read(spark, name)
+        if da.schema != db.schema:
+            entry["schema_match"] = False
+            entry["schema_a"] = da.schema.simpleString()
+            entry["schema_b"] = db.schema.simpleString()
+            report[name] = entry
+            continue
+        da, db = _comparable(da), _comparable(db)
+        only_a = da.exceptAll(db)
+        only_b = db.exceptAll(da)
+        entry["only_a"] = only_a.count()
+        entry["only_b"] = only_b.count()
+        if entry["only_a"]:
+            entry["sample_only_a"] = [r.asDict() for r in only_a.take(sample)]
+        if entry["only_b"]:
+            entry["sample_only_b"] = [r.asDict() for r in only_b.take(sample)]
+        report[name] = entry
+    return report
+
+
+def is_clean(report: dict) -> bool:
+    return all(
+        e["schema_match"] and e["only_a"] == 0 and e["only_b"] == 0
+        for e in report.values()
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dir_a")
+    ap.add_argument("dir_b")
+    ap.add_argument("--tables", default=None, help="comma-separated subset")
+    ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    ap.add_argument("--sample", type=int, default=3)
+    args = ap.parse_args()
+
+    from osmi_addresses_spark.session import get_spark
+
+    spark = get_spark("diff-layers", cores=args.cores)
+    tables = args.tables.split(",") if args.tables else None
+    report = diff_stores(spark, args.dir_a, args.dir_b, tables, args.sample)
+    print(json.dumps(report, indent=1, default=str))
+    clean = is_clean(report)
+    print(
+        ("IDENTICAL" if clean else "DIFFERENT")
+        + f": {len(report)} tables compared",
+        file=sys.stderr,
+    )
+    spark.stop()
+    return 0 if clean else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
