@@ -189,22 +189,22 @@ def embedding_near_dups(
         ),
     )
     a, b = e.alias("a"), e.alias("b")
-    cand = (
+    # candidate pairs as bare ids: the multi-band dedup shuffle stays
+    # dim-independent; vectors re-join only for the verify step
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket")),
         )
         .filter(F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
-        # multi-band collisions of the same pair: one row per pair (va/vb
-        # are functionally dependent on the ids, so subset-dedup is exact)
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    cand = (
+        pairs.join(vecs.select(F.col("vid").alias("vec_a"), F.col("v").alias("va")), "vec_a")
+        .join(vecs.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
     )
 
     def dot(x, y):

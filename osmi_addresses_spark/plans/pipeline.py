@@ -50,9 +50,10 @@ def _persist(df: DataFrame) -> DataFrame:
 
 def run_all(
     spark: SparkSession,
-    documents: DataFrame,
+    documents: DataFrame | None,
     store=None,
     source_path: str | None = None,
+    entities: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Build every layer DataFrame. Lazy — callers trigger execution.
 
@@ -100,9 +101,12 @@ def run_all(
             return None
 
         def _entities():
-            # worker-side read+parse (sources/arrow_source.py) when the
+            # pre-parsed entities (e.g. sources/osm_xml.read_osm_xml) win;
+            # else worker-side read+parse (sources/arrow_source.py) when the
             # input is a parquet path: skips the JVM nested-parquet decode
             # and one Arrow IPC leg; identical rows to parse_documents.
+            if entities is not None:
+                return entities
             doc_pq = _docs_parquet()
             if doc_pq:
                 return parsed_documents(spark, doc_pq)
@@ -127,7 +131,9 @@ def run_all(
         )
         ways_geo = store.read(spark, "ways_geo")
     else:
-        entities = _persist(parse_documents(documents, minimal=True))
+        entities = _persist(
+            entities if entities is not None else parse_documents(documents, minimal=True)
+        )
         nodes = nodes_view(entities)
         ways = ways_view(entities)
         ways_geo = _persist(assemble_way_geometries(ways, nodes))
