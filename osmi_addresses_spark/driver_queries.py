@@ -931,8 +931,7 @@ def d_minhash_lsh(spark, sf_dir):
     return pairs
 
 
-SQL_MINHASH_LSH = """
-WITH grams AS (
+_MINHASH_PAIRS_CTE = """grams AS (
   SELECT DISTINCT doc_id, g FROM (
     SELECT doc_id, substr(text, CAST(i AS INT), 5) AS g
     FROM documents, LATERAL UNNEST(range(1, GREATEST(length(text) - 4, 1) + 1)) AS t(i)
@@ -950,11 +949,56 @@ WITH grams AS (
   SELECT doc_id, j // 4 AS band,
          string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS bucket
   FROM sigs GROUP BY 1, 2
+), mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+SQL_MINHASH_LSH = "WITH " + _MINHASH_PAIRS_CTE + "\nSELECT doc_a, doc_b FROM mh_pairs"
+
+# near-dup clustering: transitive closure over the MinHash candidate pairs →
+# per-doc component (= min reachable doc_id) + canonical-representative flag.
+# Mirrors operators/graph.connected_components (the recursive CTE is the
+# sequential statement of the same min-label fixpoint).
+SQL_DEDUP_CLUSTER = "WITH RECURSIVE " + _MINHASH_PAIRS_CTE + """,
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mh_pairs
+), reach(v, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.l FROM reach r JOIN e ON e.a = r.v
+), comp AS (
+  SELECT v AS doc_id, MIN(l) AS component FROM reach GROUP BY 1
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+SELECT doc_id, component,
+       COUNT(*) OVER (PARTITION BY component) AS n_members,
+       CAST(doc_id = component AS INT) AS is_kept
+FROM comp
 """
+
+
+def d_dedup_cluster(spark, sf_dir):
+    """Near-dup clustering: MinHash candidate pairs → distributed connected
+    components (operators/graph.py) → one canonical doc per component
+    (min doc_id). The dedup decision a training pipeline actually executes:
+    keep is_kept=1 rows."""
+    from .operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = d_minhash_lsh(spark, sf_dir)
+    cc = connected_components(
+        docs, pairs, v_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("v").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        (F.col("v") == F.col("component")).cast("int").alias("is_kept"),
+    )
 
 
 def s_ann_topk(spark, sf_dir):
@@ -1220,6 +1264,7 @@ def all_queries():
         "dedup_exact": d_exact_dedup,
         "dedup_ngram_jaccard": d_ngram_jaccard,
         "dedup_minhash_lsh": d_minhash_lsh,
+        "dedup_cluster": d_dedup_cluster,
         "ann_topk": s_ann_topk,
         "text_quality": t_quality,
         "text_lang_id": t_lang_id,
@@ -1265,6 +1310,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dedup_exact": SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_MINHASH_LSH,
+        "dedup_cluster": SQL_DEDUP_CLUSTER,
         "dedup_simhash": SQL_SIMHASH,
         "ann_topk": SQL_ANN_TOPK,
         "text_quality": SQL_QUALITY,

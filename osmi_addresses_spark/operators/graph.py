@@ -1,0 +1,76 @@
+"""Distributed connected components — the generic clustering primitive
+behind raster→vector polygonization (operators/raster.py) and near-dup
+document clustering (driver_queries.d_dedup_cluster).
+
+Algorithm: iterative min-label propagation with pointer jumping. Each round
+every vertex adopts the minimum of (its label, neighbours' labels, its
+label's label); the jump step doubles the propagation radius per round, so
+convergence takes O(log component-diameter) shuffle rounds — the standard
+distributed CC (large-star/small-star family). All hash-partitioned
+equi-joins and hash aggregates; no driver-side graph state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    v_col: str = "v",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """→ (v, component): component = min vertex id reachable.
+
+    ``vertices``: one row per vertex (isolated vertices become singleton
+    components). ``edges``: undirected edge list — each pair may appear in
+    either (or both) orientations; both directions are materialized here.
+    The returned DataFrame is persisted and already materialized (the
+    iteration has to run to know the fixpoint); callers may unpersist."""
+    v = vertices.select(F.col(v_col).alias("k")).distinct()
+    e = edges.select(F.col(src_col).alias("ka"), F.col(dst_col).alias("kb"))
+    e = e.unionByName(e.selectExpr("kb as ka", "ka as kb")).distinct().persist()
+
+    # Each round references the previous labels three times (propagate,
+    # jump, union), so carrying the logical plan across rounds grows it as
+    # 3^rounds and OOMs the planner on long paths. localCheckpoint(eager)
+    # truncates the lineage every round — the iteration state is the
+    # materialized block, never the plan. (Checkpointed RDD blocks are
+    # released by the ContextCleaner once the previous round's DataFrame
+    # goes out of scope.)
+    labels = v.select("k", F.col("k").alias("lbl")).localCheckpoint(eager=True)
+    while True:
+        prop = (
+            e.join(labels, e.ka == labels.k)
+            .select(F.col("kb").alias("k"), F.col("lbl"))
+        )
+        jump = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.lbl") == F.col("y.k"))
+            .select(F.col("x.k").alias("k"), F.col("y.lbl").alias("lbl"))
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .unionByName(jump)
+            .groupBy("k")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "k")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("k").alias("v"), F.col("lbl").alias("component"))
+    out = out.persist()
+    out.count()  # materialize before dropping the cached edge list
+    e.unpersist()
+    return out

@@ -48,56 +48,24 @@ def polygonize_cells(raster: DataFrame, threshold: int = 1) -> DataFrame:
 
     Returns (component, n_cells, total_n, min_cx, max_cx, min_cy, max_cy)
     where `component` is the minimum packed cell key of the component."""
+    from .graph import connected_components
+
     cells = raster.filter(F.col("n") >= threshold).select(
         "cx", "cy", "n", _cell_key(F.col("cx"), F.col("cy")).alias("k")
-    )
-    # undirected 4-neighbourhood edge list (both directions materialized)
+    ).persist()
+    # 4-neighbourhood edge list (one orientation; CC mirrors it)
     a = cells.select("cx", "cy", F.col("k").alias("ka"))
     b = cells.select(F.col("cx").alias("bx"), F.col("cy").alias("by"), F.col("k").alias("kb"))
     right = a.join(b, (a.cx + 1 == b.bx) & (a.cy == b.by)).select("ka", "kb")
     up = a.join(b, (a.cx == b.bx) & (a.cy + 1 == b.by)).select("ka", "kb")
-    edges = (
-        right.unionByName(up)
-        .unionByName(right.selectExpr("kb as ka", "ka as kb"))
-        .unionByName(up.selectExpr("kb as ka", "ka as kb"))
-    )
-    edges = edges.persist()
+    edges = right.unionByName(up)
 
-    # iterative min-label propagation to fixpoint, with pointer jumping
-    # (each round also adopts the label's own label) → O(log diameter)
-    # rounds instead of O(diameter)
-    labels = cells.select(F.col("k"), F.col("k").alias("lbl")).persist()
-    while True:
-        prop = (
-            edges.join(labels, edges.ka == labels.k)
-            .select(F.col("kb").alias("k"), F.col("lbl"))
-        )
-        jump = (
-            labels.alias("x")
-            .join(labels.alias("y"), F.col("x.lbl") == F.col("y.k"))
-            .select(F.col("x.k").alias("k"), F.col("y.lbl").alias("lbl"))
-        )
-        new_labels = (
-            labels.unionByName(prop)
-            .unionByName(jump)
-            .groupBy("k")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "k")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(
+        cells.select("k"), edges, v_col="k", src_col="ka", dst_col="kb"
+    )
     out = (
-        cells.join(labels, "k")
-        .groupBy(F.col("lbl").alias("component"))
+        cells.join(labels, cells.k == labels.v)
+        .groupBy(F.col("component"))
         .agg(
             F.count(F.lit(1)).alias("n_cells"),
             F.sum("n").alias("total_n"),
@@ -108,11 +76,10 @@ def polygonize_cells(raster: DataFrame, threshold: int = 1) -> DataFrame:
         )
     )
     # Materialize the (small: one row per component) summary before dropping
-    # the cached edge list and final labels — unpersisting first would force
-    # a full recompute of the whole propagation when the caller evaluates
-    # `out` later, and leaving them cached leaks blocks for the session.
+    # the cached inputs — unpersisting first would force a full recompute of
+    # the whole propagation when the caller evaluates `out` later.
     out = out.persist()
     out.count()
-    edges.unpersist()
     labels.unpersist()
+    cells.unpersist()
     return out
