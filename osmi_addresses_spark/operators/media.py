@@ -1,10 +1,13 @@
 """Multimodal columns: media spans as opaque references with typed metadata.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-`decode_media` raises NotImplementedError unless `fake=True`, in which case a
-deterministic hash-derived feature vector stands in for real features. The
-Spark-side plumbing — schema, Arrow batching via mapInPandas, partitioning —
-is real and tested; swapping in a real decoder only changes `_fake_features`.
+Real-codec decode is out of scope for this container (no image/audio libs):
+`decode_media` raises NotImplementedError unless `fake=True`. Everything
+else is real and tested end-to-end against a DETERMINISTIC SYNTHETIC CODEC
+(md5-chain pixel buffers): binary buffer decode over Arrow batches
+(`decode_media_buffers`), perceptual average-hash (`media_phash_col`, also
+available JVM-side as pure Column expressions), and oracle-checked phash
+dedup (driver query `media_phash_dedup`). Swapping in a real decoder only
+changes `_fake_pixels` / `_fake_features`.
 """
 
 from __future__ import annotations
