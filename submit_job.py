@@ -4,8 +4,9 @@
 Usage (cluster):
     python package.py                       # builds dist/osmi_addresses_spark.zip
     spark-submit --py-files dist/osmi_addresses_spark.zip \
-        submit_job.py --input <documents parquet/iceberg path> \
-        --output <warehouse dir> [--layers nodes_with_addresses,...]
+        submit_job.py --input <documents parquet / .osm[.gz|.bz2] / .osm.pbf> \
+        --output <warehouse dir> [--layers nodes_with_addresses,...] \
+        [--format parquet|osm-xml|osm-pbf]   # default: inferred from path
 
 The job is resumable: re-running with the same --output skips every table
 whose manifest lineage still matches (io/table.py); per-partition metrics
@@ -24,6 +25,12 @@ def main(argv=None):
     ap.add_argument("--input", required=True, help="documents table path")
     ap.add_argument("--output", required=True, help="warehouse directory")
     ap.add_argument("--layers", default=None, help="comma list; default all")
+    ap.add_argument(
+        "--format",
+        default="auto",
+        choices=["auto", "parquet", "osm-xml", "osm-pbf"],
+        help="input format (auto: by file extension, parquet otherwise)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -33,8 +40,30 @@ def main(argv=None):
 
     spark = SparkSession.builder.appName("osmi-addresses-spark").getOrCreate()
     store = TableStore(args.output)
-    docs = spark.read.parquet(args.input)
-    layers = run_all(spark, docs, store=store, source_path=args.input)
+
+    fmt = args.format
+    if fmt == "auto":
+        low = args.input.lower()
+        if low.endswith(".pbf"):
+            fmt = "osm-pbf"
+        elif low.endswith((".osm", ".osm.gz", ".osm.bz2")):
+            fmt = "osm-xml"
+        else:
+            fmt = "parquet"
+    docs = entities = None
+    if fmt == "osm-pbf":
+        from osmi_addresses_spark.sources.osm_pbf import read_osm_pbf
+
+        entities = read_osm_pbf(spark, args.input)
+    elif fmt == "osm-xml":
+        from osmi_addresses_spark.sources.osm_xml import read_osm_xml
+
+        entities = read_osm_xml(spark, args.input)
+    else:
+        docs = spark.read.parquet(args.input)
+    layers = run_all(
+        spark, docs, store=store, source_path=args.input, entities=entities
+    )
     names = args.layers.split(",") if args.layers else None
     paths = write_layers(layers, store, layer_names=names)
     print(json.dumps({"written": paths}))

@@ -42,3 +42,24 @@ def test_spark_submit_runs_and_resumes(tmp_path):
     assert r2.returncode == 0, r2.stderr[-3000:]
     manifest = json.load(open(f"{out}/entities.manifest.json"))
     assert manifest["lineage"]["source"] == fx
+
+
+def test_submit_main_from_pbf(tmp_path, spark, small_world):
+    """--format auto routes a .osm.pbf input through the native reader and
+    the same resumable warehouse path (direct main() call — the
+    spark-submit wrapper is covered above)."""
+    import submit_job
+    from osmi_addresses_spark.sources.osm_pbf import write_osm_pbf
+
+    pbf = write_osm_pbf(
+        str(tmp_path / "world.osm.pbf"), small_world.nodes, small_world.ways
+    )
+    out = str(tmp_path / "wh_pbf")
+    submit_job.main(
+        ["--input", pbf, "--output", out, "--layers", "entrances"]
+    )
+    manifest = json.load(open(f"{out}/layer_entrances.manifest.json"))
+    total = sum(p["rows"] for p in manifest["partitions"].values())
+    assert total > 0
+    ents_manifest = json.load(open(f"{out}/entities.manifest.json"))
+    assert ents_manifest["lineage"]["source"] == pbf
