@@ -1622,7 +1622,7 @@ def sql_embedding_near_dup(sf_dir: str = "/root/testdata/sf0.01") -> str:
     )
     dim = len(tbl.column(0)[0])
     bands, rpb = 4, 8
-    signs = plane_signs(bands * rpb)
+    signs = plane_signs(bands * rpb, max_dim=dim)
     band_exprs = []
     for b in range(bands):
         terms = []

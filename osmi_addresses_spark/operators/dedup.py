@@ -106,10 +106,7 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-LSH_MAX_DIM = 256
-
-
-def plane_signs(n_planes: int, max_dim: int = LSH_MAX_DIM) -> list[list[int]]:
+def plane_signs(n_planes: int, max_dim: int = 256) -> list[list[int]]:
     """Rademacher (±1) hyperplane entries: sign(i,k) = +1 iff the first hex
     digit of md5(f"{i}_{k}") < '8'. Deterministic, engine-agnostic (the
     DuckDB oracle regenerates the identical literals), and valid for
@@ -142,26 +139,54 @@ def embedding_near_dups(
     2^rows_per_band per band — size rows_per_band ≈ log2(N / target bucket
     size) so the within-bucket self-join stays near-linear as data grows
     (round 1 used a single 8-bit table: a fixed 256-bucket n²/256 join at
-    scale). Plane entries are schema-independent constants (no driver
-    .first() to read dim) sliced to the runtime vector length.
+    scale).
+
+    Plane entries are derived JVM-side from the same deterministic rule as
+    ``plane_signs`` — sign(i,k) = +1 iff md5(f"{i}_{k}")[0] < '8' — but
+    materialized once per DISTINCT vector length into a tiny broadcast
+    table rather than baked as fixed-width literals, so arbitrary
+    embedding dims (768, 1536, 4096, ...) work with zero oracle drift and
+    the per-row cost is one broadcast-hash probe, not n_planes×dim md5
+    calls per row.
     """
     n_planes = bands * rows_per_band
-    signs = plane_signs(n_planes)
-    sign_arrays = [
-        F.array(*[F.lit(float(s)) for s in row]) for row in signs
-    ]
 
-    vec = F.col("v")
-    guard = F.when(
-        F.size(vec) > LSH_MAX_DIM,
-        F.raise_error(f"embedding dim > {LSH_MAX_DIM}: raise LSH_MAX_DIM"),
+    def sign_array(i: int):
+        """array<double> of ±1 signs for plane i at the row's `dim`."""
+        return F.when(
+            F.col("dim") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.col("dim") - 1),
+                lambda k: F.when(
+                    F.substring(
+                        F.md5(
+                            F.encode(
+                                F.concat_ws("_", F.lit(str(i)), k.cast("string")),
+                                "utf-8",
+                            )
+                        ),
+                        1,
+                        1,
+                    )
+                    < "8",
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+        ).otherwise(F.array().cast("array<double>"))
+
+    # one row per distinct dim (a column-pruned scan + map-side-combined
+    # distinct — tiny at any scale), carrying the n_planes sign arrays
+    signs_tbl = (
+        embeddings.select(F.size(F.col(vec_col)).alias("dim"))
+        .distinct()
+        .select("dim", *[sign_array(i).alias(f"sgn{i}") for i in range(n_planes)])
     )
 
     def dot_signs(i):
         return F.aggregate(
             F.zip_with(
-                vec,
-                F.slice(sign_arrays[i], 1, F.size(vec)),
+                F.col("v"),
+                F.col(f"sgn{i}"),
                 lambda a, b: a.cast("double") * b,
             ),
             F.lit(0.0),
@@ -173,20 +198,22 @@ def embedding_near_dups(
         for r in range(rows_per_band):
             i = b * rows_per_band + r
             bits = bits + F.when(dot_signs(i) > 0, F.lit(1 << r)).otherwise(0)
-        if b == 0:
-            # guard rides inside a used expression so the optimizer can't
-            # prune it: dims beyond the constant table fail loudly
-            bits = F.coalesce(guard.cast("int"), bits)
         return bits
 
-    e = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
-    ).select(
-        "vid",
-        "v",
-        F.posexplode(F.array(*[band_bucket(b) for b in range(bands)])).alias(
-            "band", "bucket"
-        ),
+    e = (
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            F.size(F.col(vec_col)).alias("dim"),
+        )
+        .join(F.broadcast(signs_tbl), "dim")
+        .select(
+            "vid",
+            "v",
+            F.posexplode(F.array(*[band_bucket(b) for b in range(bands)])).alias(
+                "band", "bucket"
+            ),
+        )
     )
     a, b = e.alias("a"), e.alias("b")
     # candidate pairs as bare ids: the multi-band dedup shuffle stays

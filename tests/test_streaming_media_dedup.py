@@ -133,6 +133,51 @@ def test_embedding_near_dups(spark):
     assert all(b - a == 1 for a, b in got)
 
 
+def test_embedding_near_dups_dim768_parity(spark):
+    """High-dim (768) embeddings — the realistic LLM-pipeline shape that the
+    round-2 LSH rejected at dim>256 — against a numpy reference that
+    regenerates the identical md5-rule hyperplanes and exact-cosine verify.
+    Pair sets must match exactly (same banding, same threshold)."""
+    from osmi_addresses_spark.operators.dedup import plane_signs
+
+    dim, bands, rpb = 768, 4, 8
+    rng = np.random.RandomState(42)
+    base = rng.randn(6, dim)
+    rows = []
+    vecs = {}
+    for i, v in enumerate(base):
+        dup = v + rng.randn(dim) * 1e-4
+        vecs[i * 2], vecs[i * 2 + 1] = v, dup
+        rows.append((i * 2, [float(x) for x in v]))
+        rows.append((i * 2 + 1, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups(df, threshold=0.999).collect()
+    }
+
+    signs = np.array(plane_signs(bands * rpb, max_dim=dim), dtype=np.float64)
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    bits = (mat @ signs.T) > 0  # (n, 32)
+    weights = np.array([1 << r for r in range(rpb)])
+    buckets = np.stack(
+        [bits[:, b * rpb : (b + 1) * rpb] @ weights for b in range(bands)], axis=1
+    )
+    want = set()
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            if not (buckets[ai] == buckets[bi]).any():
+                continue
+            a, b = mat[ai], mat[bi]
+            cos = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+            if cos >= 0.999:
+                want.add((ids[ai], ids[bi]))
+    assert got == want
+    for i in range(6):
+        assert (i * 2, i * 2 + 1) in got
+
+
 def test_media_phash_paths_agree(spark, small_docs):
     """The Arrow decode path (binary buffers) and the JVM Column path must
     produce identical perceptual hashes — they are two implementations of
