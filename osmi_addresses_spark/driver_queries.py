@@ -76,11 +76,20 @@ def parsed(spark: SparkSession, sf_dir: str) -> dict:
 
 
 # DuckDB prefix that parses the same fixture documents (spans → entities)
+def _docs_glob(fx: str) -> str:
+    """documents.parquet may be a single file or a directory of part files
+    (fixtures/generator.write_fixture writes chunked directories)."""
+    docs = f"{fx}/documents.parquet"
+    if os.path.isdir(docs):
+        docs = f"{docs}/*.parquet"
+    return docs
+
+
 def _fx_prefix(fx: str) -> str:
     return f"""
 WITH sp AS (
   SELECT doc_id, UNNEST(spans) AS s
-  FROM read_parquet('{fx}/documents.parquet')
+  FROM read_parquet('{_docs_glob(fx)}')
 ), hdr AS (
   SELECT doc_id, string_split(s.text, ' ') AS p FROM sp WHERE s.kind = 'header'
 ), nd AS (
@@ -634,8 +643,29 @@ def g_nearest_street(spark, sf_dir):
     )
 
 
+def _seg_dist_sql(px: str, py: str) -> str:
+    """DuckDB mirror of geom_sql.min_segment_dist: GEOS distancePointLine
+    per segment pair p = [A, B] (from a list_zip'd `prs` column), min over
+    segments. Identical op order to the Spark Column and geom_np mirror."""
+    ax, ay, bx, by = "p[1].lon", "p[1].lat", "p[2].lon", "p[2].lat"
+    len2 = f"(({bx}-{ax})*({bx}-{ax})+({by}-{ay})*({by}-{ay}))"
+    r = f"((({px}-{ax})*({bx}-{ax})+({py}-{ay})*({by}-{ay}))/{len2})"
+    da = f"sqrt(({px}-{ax})*({px}-{ax})+({py}-{ay})*({py}-{ay}))"
+    db = f"sqrt(({px}-{bx})*({px}-{bx})+({py}-{by})*({py}-{by}))"
+    s = f"((({ay}-{py})*({bx}-{ax})-({ax}-{px})*({by}-{ay}))/{len2})"
+    return (
+        f"list_min(list_transform(prs, p -> "
+        f"CASE WHEN {len2} = 0 THEN {da} "
+        f"WHEN {r} <= 0 THEN {da} "
+        f"WHEN {r} >= 1 THEN {db} "
+        f"ELSE abs({s}) * sqrt({len2}) END))"
+    )
+
+
 def sql_nearest_street(fx):
-    """Vertex-distance argmin with area-first strict-< tie-break, in SQL.
+    """GEOS segment-distance argmin with area-first strict-< tie-break, in
+    SQL (OGRLineString::Distance is segment-aware — see
+    geom_sql.min_segment_dist).
 
     The bbox prefilter uses the int16-quantized edges in double math (the
     float32 rounding of the engine is ~1e-7 — fixture margins are >1e-4).
@@ -653,7 +683,9 @@ def sql_nearest_street(fx):
   WHERE NOT w.dangling AND len(w.refs) >= 2
     AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'highway')
 ), hwn AS (
-  SELECT DISTINCT h.way_id, h.coords, h.is_area, t.v AS street_name,
+  SELECT DISTINCT h.way_id,
+    list_zip(h.coords[1:len(h.coords)-1], h.coords[2:len(h.coords)]) AS prs,
+    h.is_area, t.v AS street_name,
     ceil(h.bn*32767/90)*90/32767 AS dn, ceil(h.be*32767/180)*180/32767 AS de,
     floor(h.bs*32767/90)*90/32767 AS ds, floor(h.bw*32767/180)*180/32767 AS dw
   FROM hw h JOIN wtag t ON t.way_id = h.way_id
@@ -663,8 +695,7 @@ def sql_nearest_street(fx):
   FROM nd n JOIN ntag t ON t.node_id = n.node_id AND t.k = 'addr:street'
 ), cand AS (
   SELECT a.node_id, h.way_id, h.is_area,
-    list_min(list_transform(h.coords,
-        c -> sqrt((c.lon-a.lon)*(c.lon-a.lon)+(c.lat-a.lat)*(c.lat-a.lat)))) AS dist
+    """ + _seg_dist_sql("a.lon", "a.lat") + """ AS dist
   FROM ad a JOIN hwn h ON h.street_name = a.street
   WHERE a.lat < h.dn + 0.01 AND a.lat > h.ds - 0.01
     AND a.lon < h.de + 0.01/cos(radians(a.lat))
@@ -714,20 +745,22 @@ def sql_nearest_place(fx):
   FROM nd n JOIN ntag t ON t.node_id = n.node_id AND t.k = 'name'
   WHERE EXISTS (SELECT 1 FROM ntag t2 WHERE t2.node_id = n.node_id AND t2.k = 'place')
 ), ring AS (
-  SELECT w.way_id, w.coords,
+  SELECT w.way_id, w.coords[1].lon AS xr, w.coords[1].lat AS yr,
     list_zip(w.coords[1:len(w.coords)-1], w.coords[2:len(w.coords)]) AS prs
   FROM wgeo w
   WHERE NOT w.dangling AND len(w.refs) >= 2 AND w.refs[1] = w.refs[-1]
     AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'place')
     AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'name')
 ), cent AS (
-  SELECT way_id, coords,
-    list_sum(list_transform(prs, p -> p[1].lon*p[2].lat - p[2].lon*p[1].lat)) AS a2,
-    list_sum(list_transform(prs, p -> (p[1].lon+p[2].lon)*(p[1].lon*p[2].lat - p[2].lon*p[1].lat))) AS cx,
-    list_sum(list_transform(prs, p -> (p[1].lat+p[2].lat)*(p[1].lon*p[2].lat - p[2].lon*p[1].lat))) AS cy
+  -- shoelace translated to the first vertex (mirrors geom_sql.centroid_cols:
+  -- the raw formula cancels catastrophically on tiny far-from-origin rings)
+  SELECT way_id, xr, yr,
+    list_sum(list_transform(prs, p -> (p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr))) AS a2,
+    list_sum(list_transform(prs, p -> ((p[1].lon-xr)+(p[2].lon-xr))*((p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr)))) AS cx,
+    list_sum(list_transform(prs, p -> ((p[1].lat-yr)+(p[2].lat-yr))*((p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr)))) AS cy
   FROM ring
 ), pl_wayy AS (
-  SELECT c.way_id AS obj_seq, c.cx/(3*c.a2) AS lon, c.cy/(3*c.a2) AS lat,
+  SELECT c.way_id AS obj_seq, c.xr + c.cx/(3*c.a2) AS lon, c.yr + c.cy/(3*c.a2) AS lat,
          t.v AS name, FALSE AS is_nody
   FROM cent c JOIN wtag t ON t.way_id = c.way_id AND t.k = 'name'
   WHERE c.a2 != 0
@@ -1166,7 +1199,7 @@ def sql_media_refs(fx):
     return f"""
 WITH sp AS (
   SELECT doc_id, UNNEST(spans) AS s
-  FROM read_parquet('{fx}/documents.parquet')
+  FROM read_parquet('{_docs_glob(fx)}')
 ), m AS (
   SELECT doc_id, s.media_ref, s.offset FROM sp WHERE s.kind = 'media'
 )
@@ -1205,7 +1238,7 @@ def m_phash_dedup(spark, sf_dir):
 def sql_phash_dedup(fx):
     return f"""
 WITH sp AS (
-  SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{fx}/documents.parquet')
+  SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{_docs_glob(fx)}')
 ), m AS (
   SELECT doc_id, s.media_ref FROM sp WHERE s.kind = 'media'
 ), refs AS (
@@ -1359,7 +1392,7 @@ def sql_polygonize(fx):
     list → min reachable cell key per cell == the Spark component id."""
     return f"""
 WITH RECURSIVE sp AS (
-  SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{fx}/documents.parquet')
+  SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{_docs_glob(fx)}')
 ), hdr AS (
   SELECT doc_id, string_split(s.text, ' ') AS p FROM sp WHERE s.kind = 'header'
 ), nd AS (
@@ -1513,21 +1546,23 @@ def sql_street_not_found(fx):
   JOIN ntag t ON t.node_id = n.node_id AND t.k = 'name'
   WHERE EXISTS (SELECT 1 FROM ntag t2 WHERE t2.node_id = n.node_id AND t2.k = 'place')
 ), ring AS (
-  SELECT w.way_id, list_zip(w.coords[1:len(w.coords)-1], w.coords[2:len(w.coords)]) AS prs
+  SELECT w.way_id, w.coords[1].lon AS xr, w.coords[1].lat AS yr,
+    list_zip(w.coords[1:len(w.coords)-1], w.coords[2:len(w.coords)]) AS prs
   FROM wgeo w
   WHERE NOT w.dangling AND len(w.refs) >= 2 AND w.refs[1] = w.refs[-1]
     AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'place')
     AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'name')
 ), cent AS (
-  SELECT way_id,
-    list_sum(list_transform(prs, p -> p[1].lon*p[2].lat - p[2].lon*p[1].lat)) AS a2,
-    list_sum(list_transform(prs, p -> (p[1].lon+p[2].lon)*(p[1].lon*p[2].lat - p[2].lon*p[1].lat))) AS cx,
-    list_sum(list_transform(prs, p -> (p[1].lat+p[2].lat)*(p[1].lon*p[2].lat - p[2].lon*p[1].lat))) AS cy
+  -- shoelace translated to the first vertex (mirrors geom_sql.centroid_cols)
+  SELECT way_id, xr, yr,
+    list_sum(list_transform(prs, p -> (p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr))) AS a2,
+    list_sum(list_transform(prs, p -> ((p[1].lon-xr)+(p[2].lon-xr))*((p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr)))) AS cx,
+    list_sum(list_transform(prs, p -> ((p[1].lat-yr)+(p[2].lat-yr))*((p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr)))) AS cy
   FROM ring
 ), pl AS (
   SELECT lon, lat, name FROM pl_nody
   UNION ALL
-  SELECT c.cx/(3*c.a2), c.cy/(3*c.a2), t.v
+  SELECT c.xr + c.cx/(3*c.a2), c.yr + c.cy/(3*c.a2), t.v
   FROM cent c JOIN wtag t ON t.way_id = c.way_id AND t.k = 'name'
   WHERE c.a2 != 0
 ), adp AS (

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from ..schemas import DOCUMENTS_ARROW
 
-GEN_VERSION = 3  # bump to invalidate cached fixture parquet
+GEN_VERSION = 4  # bump to invalidate cached fixture parquet
 
 LON0 = 8.78
 LAT0 = 47.25
@@ -163,18 +163,30 @@ class _TownBuilder:
         # street whose name collides with the town's place name
         self.path([(0.45, 0.62), (0.55, 0.62)], {"highway": "residential", "name": f"Dorf {t}"})
 
-        # tie-break cases: three ways sharing one vertex, same name
+        # tie-break cases: three ways sharing one vertex, same name.
+        # The addr node sits EXACTLY on the shared vertex: all candidates are
+        # at segment distance 0.0 (an exact tie), so the area-first /
+        # insertion-order tie-break is what decides — under the GEOS segment
+        # metric an off-vertex point almost never ties.
         xs = self.node(0.15, 0.25)  # shared vertex
         tri = [self.node(0.13, 0.22), self.node(0.17, 0.22), xs]
         self.way(tri + [tri[0]], {"highway": "pedestrian", "name": f"Doppelgasse {t}", "area": "yes"})
         self.way([xs, self.node(0.12, 0.28)], {"highway": "residential", "name": f"Doppelgasse {t}"})
         self.way([xs, self.node(0.18, 0.28)], {"highway": "residential", "name": f"Doppelgasse {t}"})
-        # nonarea-only insertion-order tie
+        # nonarea-only insertion-order tie (again exactly on the vertex)
         xs2 = self.node(0.85, 0.25)
         self.way([xs2, self.node(0.82, 0.28)], {"highway": "residential", "name": f"Zwillingsweg {t}"})
         self.way([xs2, self.node(0.88, 0.28)], {"highway": "residential", "name": f"Zwillingsweg {t}"})
-        self.node(0.151, 0.25, {"addr:street": f"Doppelgasse {t}", "addr:housenumber": "1"})
-        self.node(0.851, 0.25, {"addr:street": f"Zwillingsweg {t}", "addr:housenumber": "2"})
+        self.node(0.15, 0.25, {"addr:street": f"Doppelgasse {t}", "addr:housenumber": "1"})
+        self.node(0.85, 0.25, {"addr:street": f"Zwillingsweg {t}", "addr:housenumber": "2"})
+        # off-vertex probes: segment distance (not vertex distance) must pick
+        # the winner — the nearest *segment* belongs to a different way than
+        # the nearest vertex for these points
+        self.node(0.151, 0.253, {"addr:street": f"Doppelgasse {t}", "addr:housenumber": "3"})
+        self.node(0.853, 0.251, {"addr:street": f"Zwillingsweg {t}", "addr:housenumber": "4"})
+        # addr whose only same-name candidate is an area highway: a
+        # guaranteed nearest_areas row under any selection metric
+        self.node(0.75, 0.66, {"addr:street": f"Marktplatz {t}", "addr:housenumber": "5"})
 
         # ---- places ----
         self.node(0.5, 0.6, {"place": "village", "name": f"Dorf {t}"})

@@ -41,10 +41,16 @@ def ring_centroid(lon: np.ndarray, lat: np.ndarray) -> tuple[float, float]:
         lon = np.append(lon, lon[0])
         lat = np.append(lat, lat[0])
     # sequential left-to-right folds, matching the Spark Column aggregate
-    # (numpy .sum() is pairwise and would differ in final ULPs)
+    # (numpy .sum() is pairwise and would differ in final ULPs).
+    # Coordinates are translated to the first vertex before the shoelace —
+    # the raw formula cancels catastrophically on small-but-far-from-origin
+    # rings (a ~1 m ring at lat 47° came out ~940 m south); GEOS (which the
+    # reference calls through OGR Centroid) uses the same local-origin trick.
+    xr, yr = float(lon[0]), float(lat[0])
     a2 = cx = cy = tot = wx = wy = 0.0
     for i in range(len(lon) - 1):
-        x0, y0, x1, y1 = float(lon[i]), float(lat[i]), float(lon[i + 1]), float(lat[i + 1])
+        x0, y0 = float(lon[i]) - xr, float(lat[i]) - yr
+        x1, y1 = float(lon[i + 1]) - xr, float(lat[i + 1]) - yr
         cross = x0 * y1 - x1 * y0
         a2 += cross
         cx += (x0 + x1) * cross
@@ -54,9 +60,9 @@ def ring_centroid(lon: np.ndarray, lat: np.ndarray) -> tuple[float, float]:
         wx += (x0 + x1) / 2.0 * seg
         wy += (y0 + y1) / 2.0 * seg
     if a2 != 0.0:
-        return cx / (3.0 * a2), cy / (3.0 * a2)
+        return xr + cx / (3.0 * a2), yr + cy / (3.0 * a2)
     if tot != 0.0:
-        return wx / tot, wy / tot
+        return xr + wx / tot, yr + wy / tot
     return float(lon[0]), float(lat[0])
 
 
@@ -108,9 +114,35 @@ def is_point_near_bbox(
 
 # ------------------------------------------------- vertex distance & refine
 def min_vertex_dist(lons: np.ndarray, lats: np.ndarray, plon: float, plat: float) -> float:
-    """Degree-space distance from point to the way's *vertices*
-    (osmi/ConnectionLinePreprocessor.hpp:266-267)."""
+    """Degree-space distance from point to the way's *vertices* (used by the
+    foot-point refine's closest-node scan, not for way selection)."""
     return float(np.min(np.hypot(lons - plon, lats - plat)))
+
+
+def min_segment_dist(lons: np.ndarray, lats: np.ndarray, plon: float, plat: float) -> float:
+    """GEOS point-to-linestring distance in degree space — the way-selection
+    metric (OGRLineString::Distance → GEOS distancePointLine,
+    osmi/ConnectionLinePreprocessor.hpp:266). Left-to-right scan with the
+    identical per-segment formula as geom_sql.min_segment_dist (bit parity
+    with the Spark Column and the DuckDB oracle)."""
+    best = 1e308
+    for i in range(len(lons) - 1):
+        ax, ay, bx, by = float(lons[i]), float(lats[i]), float(lons[i + 1]), float(lats[i + 1])
+        len2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+        if len2 == 0.0:
+            d = math.sqrt((plon - ax) * (plon - ax) + (plat - ay) * (plat - ay))
+        else:
+            r = ((plon - ax) * (bx - ax) + (plat - ay) * (by - ay)) / len2
+            if r <= 0.0:
+                d = math.sqrt((plon - ax) * (plon - ax) + (plat - ay) * (plat - ay))
+            elif r >= 1.0:
+                d = math.sqrt((plon - bx) * (plon - bx) + (plat - by) * (plat - by))
+            else:
+                s = ((ay - plat) * (bx - ax) - (ax - plon) * (by - ay)) / len2
+                d = abs(s) * math.sqrt(len2)
+        if d < best:
+            best = d
+    return best
 
 
 def closest_vertex_idx(xs: np.ndarray, ys: np.ndarray, px: float, py: float) -> int:

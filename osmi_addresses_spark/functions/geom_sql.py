@@ -81,6 +81,48 @@ def min_vertex_dist(coords: Column, plon: Column, plat: Column) -> Column:
     return F.sqrt(min_sq)
 
 
+def min_segment_dist(coords: Column, plon: Column, plat: Column) -> Column:
+    """GEOS point-to-linestring distance in degree space — what the
+    reference's closest-way scan actually computes: OGRLineString::Distance
+    (osmi/ConnectionLinePreprocessor.hpp:266) delegates to GEOS
+    ``distancePointLine``, which is segment-aware. (The adjacent source
+    comment claims vertices only; the reference's own golden ST_Length
+    extrema on the testzone fixture prove otherwise — a building whose
+    nearest street segment is 3 m away but whose nearest street *vertex*
+    is 25 m away must match at 3 m to reproduce the golden max of 17.3 m.)
+
+    Per segment (A,B) and point p (GEOS CGAlgorithms::distancePointLine):
+      len2 = |B-A|²;   len2 == 0          → |p-A|
+      r = ((p-A)·(B-A))/len2;   r ≤ 0     → |p-A|;   r ≥ 1 → |p-B|
+      else s = ((Ay-py)(Bx-Ax) - (Ax-px)(By-Ay))/len2;  d = |s|·√len2
+
+    Op order mirrors the DuckDB oracle and geom_np.min_segment_dist exactly.
+    Empty segment list (single-vertex way) → BIG; the F7 highway filter
+    (≥2 nodes, operators/streets.py) keeps those out of the index.
+    """
+    n = F.size(coords)
+    a = F.slice(coords, 1, n - 1)
+    b = F.slice(coords, 2, n - 1)
+
+    def seg(p, q):
+        ax, ay, bx, by = p["lon"], p["lat"], q["lon"], q["lat"]
+        len2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+        r = ((plon - ax) * (bx - ax) + (plat - ay) * (by - ay)) / len2
+        d_a = F.sqrt((plon - ax) * (plon - ax) + (plat - ay) * (plat - ay))
+        d_b = F.sqrt((plon - bx) * (plon - bx) + (plat - by) * (plat - by))
+        s = ((ay - plat) * (bx - ax) - (ax - plon) * (by - ay)) / len2
+        return (
+            F.when(len2 == 0.0, d_a)
+            .when(r <= 0.0, d_a)
+            .when(r >= 1.0, d_b)
+            .otherwise(F.abs(s) * F.sqrt(len2))
+        )
+
+    return F.aggregate(
+        F.zip_with(a, b, seg), F.lit(BIG), lambda acc, d: F.least(acc, d)
+    )
+
+
 def point_dist(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
     return F.sqrt((lon1 - lon2) * (lon1 - lon2) + (lat1 - lat2) * (lat1 - lat2))
 
@@ -121,21 +163,38 @@ def centroid_cols(coords: Column) -> Column:
     for rings assembled from closed ways.
     """
     n = F.size(coords)
+    first = F.element_at(coords, 1)
+    # translate to the first vertex before the shoelace: the raw formula
+    # cancels catastrophically on small-but-far-from-origin rings (a ~1 m
+    # ring at lat 47° came out ~940 m off); GEOS — which the reference
+    # calls through OGR Centroid — uses the same local-origin trick. The
+    # op order mirrors geom_np.ring_centroid exactly (bit-parity with the
+    # python oracle).
+    xr = first["lon"]
+    yr = first["lat"]
     a = F.slice(coords, 1, n - 1)
     b = F.slice(coords, 2, n - 1)
     terms = F.zip_with(
         a,
         b,
         lambda p, q: F.struct(
-            (p["lon"] * q["lat"] - q["lon"] * p["lat"]).alias("cross"),
-            ((p["lon"] + q["lon"]) * (p["lon"] * q["lat"] - q["lon"] * p["lat"])).alias("cx"),
-            ((p["lat"] + q["lat"]) * (p["lon"] * q["lat"] - q["lon"] * p["lat"])).alias("cy"),
+            (
+                (p["lon"] - xr) * (q["lat"] - yr) - (q["lon"] - xr) * (p["lat"] - yr)
+            ).alias("cross"),
+            (
+                ((p["lon"] - xr) + (q["lon"] - xr))
+                * ((p["lon"] - xr) * (q["lat"] - yr) - (q["lon"] - xr) * (p["lat"] - yr))
+            ).alias("cx"),
+            (
+                ((p["lat"] - yr) + (q["lat"] - yr))
+                * ((p["lon"] - xr) * (q["lat"] - yr) - (q["lon"] - xr) * (p["lat"] - yr))
+            ).alias("cy"),
             F.sqrt(
-                (q["lon"] - p["lon"]) * (q["lon"] - p["lon"])
-                + (q["lat"] - p["lat"]) * (q["lat"] - p["lat"])
+                ((q["lon"] - xr) - (p["lon"] - xr)) * ((q["lon"] - xr) - (p["lon"] - xr))
+                + ((q["lat"] - yr) - (p["lat"] - yr)) * ((q["lat"] - yr) - (p["lat"] - yr))
             ).alias("seg"),
-            ((p["lon"] + q["lon"]) / F.lit(2.0)).alias("mx"),
-            ((p["lat"] + q["lat"]) / F.lit(2.0)).alias("my"),
+            (((p["lon"] - xr) + (q["lon"] - xr)) / F.lit(2.0)).alias("mx"),
+            (((p["lat"] - yr) + (q["lat"] - yr)) / F.lit(2.0)).alias("my"),
         ),
     )
     a2 = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t["cross"])
@@ -144,15 +203,14 @@ def centroid_cols(coords: Column) -> Column:
     tot = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t["seg"])
     wx = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t["mx"] * t["seg"])
     wy = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t["my"] * t["seg"])
-    first = F.element_at(coords, 1)
     lon = (
-        F.when(a2 != 0.0, cx / (F.lit(3.0) * a2))
-        .when(tot != 0.0, wx / tot)
+        F.when(a2 != 0.0, xr + cx / (F.lit(3.0) * a2))
+        .when(tot != 0.0, xr + wx / tot)
         .otherwise(first["lon"])
     )
     lat = (
-        F.when(a2 != 0.0, cy / (F.lit(3.0) * a2))
-        .when(tot != 0.0, wy / tot)
+        F.when(a2 != 0.0, yr + cy / (F.lit(3.0) * a2))
+        .when(tot != 0.0, yr + wy / tot)
         .otherwise(first["lat"])
     )
     return F.struct(lon.alias("lon"), lat.alias("lat"))

@@ -12,10 +12,13 @@ narrow lon/lat range and carries min/max stats on the geometry leaves:
   groups whose stats miss the window are never decoded (check
   `PushedFilters` in `.explain`). This is the R-tree-read analog at scale:
   touched bytes ∝ window area, not table size.
-- LINESTRING layers (`geom` array<struct>): selection follows the R-tree
-  semantics (geometry bbox intersects window) via array_min/array_max over
-  the vertices — JVM codegen, but not pushable into the scan; window reads
-  on line layers scan the (cell-clustered) row groups and prune per row.
+- LINESTRING layers (`geom` array<struct>): write_layers materializes the
+  per-row bbox as four top-level doubles (`_bbox_w/_bbox_e/_bbox_s/
+  _bbox_n`); the window becomes four scalar range predicates on them —
+  pushable into the parquet scan exactly like the point case, with
+  identical selection semantics to the reference's R-tree (geometry bbox
+  intersects window). In-memory DataFrames without the columns fall back
+  to array_min/array_max over the vertices (same rows, no pushdown).
 """
 
 from __future__ import annotations
@@ -37,6 +40,15 @@ def bbox_filter(df: DataFrame, bbox: tuple[float, float, float, float]):
         return (
             (lon >= west) & (lon <= east) & (lat >= south) & (lat <= north)
         )
+    if "_bbox_w" in df.columns:
+        # written line layers carry materialized bbox columns → scalar
+        # predicates the scan can push down to row-group stats
+        return (
+            (F.col("_bbox_w") <= east)
+            & (F.col("_bbox_e") >= west)
+            & (F.col("_bbox_s") <= north)
+            & (F.col("_bbox_n") >= south)
+        )
     lons = F.transform(F.col("geom"), lambda p: p["lon"])
     lats = F.transform(F.col("geom"), lambda p: p["lat"])
     return (
@@ -56,6 +68,9 @@ def read_layer_bbox(
     """Read one written layer restricted to a bbox window.
 
     ``layer`` is the bare layer name (e.g. "entrances"); the table is the
-    `layer_<name>` table committed by write_layers."""
+    `layer_<name>` table committed by write_layers. The materialized
+    `_bbox_*` helper columns are consumed by the predicate and dropped
+    from the result."""
     df = store.read(spark, f"layer_{layer}")
-    return df.filter(bbox_filter(df, bbox))
+    out = df.filter(bbox_filter(df, bbox))
+    return out.drop("_bbox_w", "_bbox_e", "_bbox_s", "_bbox_n")

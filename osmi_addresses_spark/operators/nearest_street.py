@@ -4,7 +4,9 @@ Plan shape (all relational until the winners-only refine):
 
     addr_points ⋈ streets ON (lookup_name = street_name AND cell = cell)
       → exact bbox±tolerance filter  (osmi/GeometryHelper.hpp:127-152)
-      → vertex-distance (degree space, F.aggregate — JVM codegen)
+      → GEOS segment distance (degree space, F.aggregate — JVM codegen;
+        OGRLineString::Distance at ConnectionLinePreprocessor.hpp:266 is
+        segment-aware, NOT vertex-only as its comment claims)
       → window argmin per addr  (dist ASC, area-before-nonarea, insertion
         order; replicates the strict-'<' scan of
         osmi/ConnectionLinePreprocessor.hpp:214-280)
@@ -78,7 +80,7 @@ def match_streets(
     # the linestring) made the partial-agg stage GC-bound (measured 557 s GC
     # in an 877 s stage at sf10/32 cores).
     cand = cand.withColumn(
-        "dist", G.min_vertex_dist(F.col("way_coords"), F.col("lon"), F.col("lat"))
+        "dist", G.min_segment_dist(F.col("way_coords"), F.col("lon"), F.col("lat"))
     ).drop("bbox_n", "bbox_e", "bbox_s", "bbox_w", "way_coords")
     # strict-'<' scan order: closer wins; ties → area side (scanned first),
     # then insertion (way id) order. min_by over a total-order struct is a

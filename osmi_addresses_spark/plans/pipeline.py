@@ -279,6 +279,19 @@ def write_layers(layers: dict[str, DataFrame], store, layer_names=None) -> dict[
             if g == "struct":
                 sort_cell = cell_of(F.col("geom.lon"), F.col("geom.lat"))
             else:
+                # LINESTRING layers: materialize the per-row bbox as four
+                # top-level doubles so window reads get the same parquet
+                # min/max row-group pruning point layers get from geom.lon/
+                # lat stats (the reference's R-trees serve line layers too,
+                # test_engine.pl:33-57) — io/window.py keys on these.
+                lons = F.transform(F.col("geom"), lambda p: p["lon"])
+                lats = F.transform(F.col("geom"), lambda p: p["lat"])
+                df = (
+                    df.withColumn("_bbox_w", F.array_min(lons))
+                    .withColumn("_bbox_e", F.array_max(lons))
+                    .withColumn("_bbox_s", F.array_min(lats))
+                    .withColumn("_bbox_n", F.array_max(lats))
+                )
                 first = F.element_at("geom", 1)
                 sort_cell = cell_of(first["lon"], first["lat"])
             df = df.withColumn("_cell", sort_cell).sortWithinPartitions("_cell").drop("_cell")

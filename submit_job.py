@@ -6,7 +6,8 @@ Usage (cluster):
     spark-submit --py-files dist/osmi_addresses_spark.zip \
         submit_job.py --input <documents parquet / .osm[.gz|.bz2] / .osm.pbf> \
         --output <warehouse dir> [--layers nodes_with_addresses,...] \
-        [--format parquet|osm-xml|osm-pbf]   # default: inferred from path
+        [--format parquet|osm-xml|osm-pbf] \  # default: inferred from path
+        [--spatialite <dir>]  # also export reference-contract .sqlite files
 
 The job is resumable: re-running with the same --output skips every table
 whose manifest lineage still matches (io/table.py); per-partition metrics
@@ -30,6 +31,12 @@ def main(argv=None):
         default="auto",
         choices=["auto", "parquet", "osm-xml", "osm-pbf"],
         help="input format (auto: by file extension, parquet otherwise)",
+    )
+    ap.add_argument(
+        "--spatialite",
+        default=None,
+        help="directory to export the reference's SpatiaLite .sqlite files "
+        "(one per layer, MapServer/QGIS drop-in) in addition to the parquet tables",
     )
     args = ap.parse_args(argv)
 
@@ -66,7 +73,16 @@ def main(argv=None):
     )
     names = args.layers.split(",") if args.layers else None
     paths = write_layers(layers, store, layer_names=names)
-    print(json.dumps({"written": paths}))
+    out = {"written": paths}
+    if args.spatialite:
+        from osmi_addresses_spark.io.spatialite import export_layer
+        from osmi_addresses_spark.schemas import LAYER_FIELDS
+
+        out["spatialite"] = {
+            n: export_layer(layers[n], n, args.spatialite)
+            for n in (names or list(LAYER_FIELDS))
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

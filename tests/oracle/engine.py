@@ -20,6 +20,7 @@ from osmi_addresses_spark.functions.geom_np import (
     is_point_near_bbox,
     lat2int16,
     lon2int16,
+    min_segment_dist,
     refine_foot_point,
     ring_centroid,
     value_along_multi,
@@ -153,8 +154,11 @@ class Oracle:
                 bn, be, bs, bw = e["bbox"]
                 if not is_point_near_bbox(bn, be, bs, bw, plon, plat, MAXDIST):
                     continue
-                d = min(
-                    math.sqrt((c[0] - plon) ** 2 + (c[1] - plat) ** 2) for c in e["coords"]
+                d = min_segment_dist(
+                    np.array([c[0] for c in e["coords"]], dtype=np.float64),
+                    np.array([c[1] for c in e["coords"]], dtype=np.float64),
+                    plon,
+                    plat,
                 )
                 if d < best_dist:
                     best = (e, is_area)

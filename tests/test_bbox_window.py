@@ -95,6 +95,83 @@ def test_linestring_bbox_intersects(spark, tmp_path):
     assert got == {"in", "crossing", "touch_edge"}
 
 
+def test_linestring_bbox_pushdown_and_pruning(spark, tmp_path):
+    """Line layers written via write_layers carry materialized _bbox_*
+    columns: the window read pushes scalar predicates into the parquet scan
+    and row-group stats prune most groups — same guarantees the point
+    layers get (the reference's R-trees serve line layers too)."""
+    from osmi_addresses_spark.plans.pipeline import write_layers
+
+    store = TableStore(str(tmp_path / "store"))
+    n = 60_000
+    # short segments strung along lon ∈ [0, 60)
+    df = spark.range(n).select(
+        F.col("id").cast("string").alias("node_id"),
+        F.col("id").cast("string").alias("way_id"),
+        F.array(
+            F.struct(
+                (F.col("id") * 0.001).alias("lon"),
+                (F.pmod(F.col("id"), 1000) * 0.001).alias("lat"),
+            ),
+            F.struct(
+                (F.col("id") * 0.001 + 0.0005).alias("lon"),
+                (F.pmod(F.col("id"), 1000) * 0.001 + 0.0005).alias("lat"),
+            ),
+        ).alias("geom"),
+    ).repartition(4)
+    write_layers(
+        {"connection_line": df},
+        _Opts(store),
+        layer_names=["connection_line"],
+    )
+
+    got = read_layer_bbox(spark, store, "connection_line", BBOX)
+    lons = F.transform(F.col("geom"), lambda p: p["lon"])
+    lats = F.transform(F.col("geom"), lambda p: p["lat"])
+    want = df.filter(
+        (F.array_min(lons) <= BBOX[2])
+        & (F.array_max(lons) >= BBOX[0])
+        & (F.array_min(lats) <= BBOX[3])
+        & (F.array_max(lats) >= BBOX[1])
+    )
+    assert got.count() == want.count() > 0
+    assert sorted(got.columns) == sorted(df.columns)  # helper cols dropped
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "_bbox_w" in plan, plan[:2000]
+
+    total = overlapping = 0
+    root = store._dir("layer_connection_line")
+    for f in os.listdir(root):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(root, f)).metadata
+        sch = md.schema
+        w_idx = next(i for i in range(len(sch)) if sch.column(i).path == "_bbox_w")
+        e_idx = next(i for i in range(len(sch)) if sch.column(i).path == "_bbox_e")
+        for rg in range(md.num_row_groups):
+            total += 1
+            stw = md.row_group(rg).column(w_idx).statistics
+            ste = md.row_group(rg).column(e_idx).statistics
+            if stw.min <= BBOX[2] and ste.max >= BBOX[0]:
+                overlapping += 1
+    assert total >= 8, f"expected many row groups, got {total}"
+    assert overlapping < total / 2, (
+        f"cell clustering should localize row groups: {overlapping}/{total} overlap"
+    )
+
+
+class _Opts:
+    """Minimal store adapter for write_layers: forwards writes with small
+    row groups so the pruning assertion sees many groups per file."""
+
+    def __init__(self, store):
+        self._store = store
+
+    def write(self, name, df):
+        return self._store.write(name, df, options={"parquet.block.size": "65536"})
+
+
 def test_bbox_filter_matches_oracle_semantics(spark):
     # inclusive bounds, like OGR SetSpatialFilterRect on rectangles
     df = spark.createDataFrame(
