@@ -401,10 +401,24 @@ WHERE EXISTS (SELECT 1 FROM ntag t WHERE t.node_id = n.node_id AND
 # /root/reference/test/test_engine.pl:33-57). The layer is written once per
 # fixture (cell-clustered files), then read back through the pushdown path.
 _WINDOW_BBOX = (8.775, 47.245, 8.845, 47.305)
-_BBOX_STORE_CACHE: dict[str, object] = {}
+_BBOX_STORE_CACHE: dict[tuple[str, float], object] = {}
+
+
+def _fixture_mtime(fx: str) -> float:
+    """mtime of the fixture's documents parquet (file or newest part file)
+    — regenerating a fixture in-process invalidates the cached store."""
+    docs = os.path.join(fx, "documents.parquet")
+    if os.path.isdir(docs):
+        return max(
+            (os.path.getmtime(os.path.join(docs, f)) for f in os.listdir(docs)),
+            default=0.0,
+        )
+    return os.path.getmtime(docs) if os.path.exists(docs) else 0.0
 
 
 def g_bbox_window(spark, sf_dir):
+    import atexit
+    import shutil
     import tempfile
 
     from .io.table import TableStore
@@ -412,12 +426,15 @@ def g_bbox_window(spark, sf_dir):
     from .plans.pipeline import write_layers
 
     fx = fixture_path(sf_dir)
-    if fx not in _BBOX_STORE_CACHE:
+    key = (fx, _fixture_mtime(fx))
+    if key not in _BBOX_STORE_CACHE:
         d = parsed(spark, sf_dir)
-        store = TableStore(tempfile.mkdtemp(prefix="osmi_window_"))
+        tmp = tempfile.mkdtemp(prefix="osmi_window_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        store = TableStore(tmp)
         write_layers({"entrances": L.entrances(d["nodes"])}, store, ["entrances"])
-        _BBOX_STORE_CACHE[fx] = store
-    w = read_layer_bbox(spark, _BBOX_STORE_CACHE[fx], "entrances", _WINDOW_BBOX)
+        _BBOX_STORE_CACHE[key] = store
+    w = read_layer_bbox(spark, _BBOX_STORE_CACHE[key], "entrances", _WINDOW_BBOX)
     return w.select(
         "node_id",
         "lastchange",

@@ -22,6 +22,7 @@ def connected_components(
     v_col: str = "v",
     src_col: str = "src",
     dst_col: str = "dst",
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """→ (v, component): component = min vertex id reachable.
 
@@ -29,19 +30,39 @@ def connected_components(
     components). ``edges``: undirected edge list — each pair may appear in
     either (or both) orientations; both directions are materialized here.
     The returned DataFrame is persisted and already materialized (the
-    iteration has to run to know the fixpoint); callers may unpersist."""
+    iteration has to run to know the fixpoint); callers may unpersist.
+
+    ``reliable_checkpoint``: per-round state durability. localCheckpoint
+    blocks are unreplicated executor-local — in cluster mode one executor
+    loss mid-iteration kills the whole job. With True (or by default when
+    a checkpoint dir is configured via spark.sparkContext.setCheckpointDir),
+    rounds use reliable checkpoint() to that directory instead, surviving
+    executor loss; local mode keeps the cheaper localCheckpoint."""
     v = vertices.select(F.col(v_col).alias("k")).distinct()
     e = edges.select(F.col(src_col).alias("ka"), F.col(dst_col).alias("kb"))
     e = e.unionByName(e.selectExpr("kb as ka", "ka as kb")).distinct().persist()
 
+    sc = vertices.sparkSession.sparkContext
+    if reliable_checkpoint is None:
+        reliable_checkpoint = sc.getCheckpointDir() is not None
+    if reliable_checkpoint and sc.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable_checkpoint=True requires "
+            "spark.sparkContext.setCheckpointDir(<fault-tolerant path>)"
+        )
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable_checkpoint else df.localCheckpoint(
+            eager=True
+        )
+
     # Each round references the previous labels three times (propagate,
     # jump, union), so carrying the logical plan across rounds grows it as
-    # 3^rounds and OOMs the planner on long paths. localCheckpoint(eager)
-    # truncates the lineage every round — the iteration state is the
-    # materialized block, never the plan. (Checkpointed RDD blocks are
-    # released by the ContextCleaner once the previous round's DataFrame
-    # goes out of scope.)
-    labels = v.select("k", F.col("k").alias("lbl")).localCheckpoint(eager=True)
+    # 3^rounds and OOMs the planner on long paths. Checkpointing truncates
+    # the lineage every round — the iteration state is the materialized
+    # block, never the plan. (Checkpointed RDD blocks are released by the
+    # ContextCleaner once the previous round's DataFrame goes out of scope.)
+    labels = ckpt(v.select("k", F.col("k").alias("lbl")))
     while True:
         prop = (
             e.join(labels, e.ka == labels.k)
@@ -52,12 +73,11 @@ def connected_components(
             .join(labels.alias("y"), F.col("x.lbl") == F.col("y.k"))
             .select(F.col("x.k").alias("k"), F.col("y.lbl").alias("lbl"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.unionByName(prop)
             .unionByName(jump)
             .groupBy("k")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

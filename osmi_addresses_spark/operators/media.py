@@ -82,21 +82,46 @@ def _fake_pixels(ref: str) -> bytes:
     return out
 
 
-def decode_media_buffers(spans: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+# ---- codec adapter seam ---------------------------------------------------
+# A codec is `fn(media_ref: str) -> bytes` returning exactly PIXELS bytes
+# (grayscale pixel buffer). Swapping in a real decoder off-sandbox is a
+# one-function change: `decode_media_buffers(spans, codec=my_decoder)`.
+# The function must be serializable (it ships to executors inside the
+# Arrow UDF closure) and is validated per buffer — a codec returning the
+# wrong length fails the task loudly instead of corrupting the phash.
+Codec = "Callable[[str], bytes]"
+
+
+def synthetic_codec(ref: str) -> bytes:
+    """Default codec: the md5-chain stand-in (cross-engine reproducible,
+    mirrored bit-for-bit by the DuckDB oracle and media_phash_col)."""
+    return _fake_pixels(ref)
+
+
+def decode_media_buffers(
+    spans: DataFrame, ref_col: str = "media_ref", codec=None
+) -> DataFrame:
     """The decode step as real plumbing: distinct refs → (media_ref,
-    pixels binary). Arrow-batched mapInPandas; the per-buffer md5 chain is
-    the codec stand-in (a real decoder is per-buffer work too)."""
+    pixels binary). Arrow-batched mapInPandas; ``codec`` is the adapter
+    seam (defaults to the synthetic md5-chain codec — a real decoder is
+    per-buffer work with the identical signature and batch shape)."""
+    codec = codec or synthetic_codec
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            yield pd.DataFrame(
-                {
-                    "media_ref": pdf[ref_col],
-                    "pixels": [_fake_pixels(r) for r in pdf[ref_col]],
-                }
-            )
+            bufs = []
+            for r in pdf[ref_col]:
+                b = codec(r)
+                if not isinstance(b, bytes) or len(b) != PIXELS:
+                    raise ValueError(
+                        f"codec contract violation for {r!r}: expected "
+                        f"{PIXELS} bytes, got {type(b).__name__}"
+                        f"[{len(b) if isinstance(b, bytes) else '?'}]"
+                    )
+                bufs.append(b)
+            yield pd.DataFrame({"media_ref": pdf[ref_col], "pixels": bufs})
 
     return spans.select(ref_col).distinct().mapInPandas(
         gen,

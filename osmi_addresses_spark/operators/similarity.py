@@ -182,20 +182,34 @@ def distributed_kmeans_centroids(
                     names=["centroid", "cnt", "vsum"],
                 )
 
+        # two-level reduce: (centroid, pos) hash agg runs distributed, then
+        # re-packs into ONE row per centroid (pos-sorted array) before the
+        # collect — the driver receives ≤ nlist rows, not nlist×dim
+        # (at nlist≈√N sizing, 10⁵ centroids × dim 256 ≈ 205 MB of doubles
+        # either way, but nlist×dim Rows added ~100 B/row of overhead — a
+        # multi-GB driver spike this packing removes)
         agg = (
             src.mapInArrow(partials, partial_schema)
             .select("centroid", "cnt", F.posexplode("vsum").alias("pos", "x"))
             .groupBy("centroid", "pos")
             .agg(F.sum("cnt").alias("n"), F.sum("x").alias("s"))
+            .groupBy("centroid")
+            .agg(
+                F.max("n").alias("n"),  # n is per-centroid, duplicated per pos
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda t: t["s"],
+                ).alias("vsum"),
+            )
             .collect()
         )
+        assert len(agg) <= nlist
         new_cn = cn.copy()
         counts = np.zeros(nlist, dtype=np.int64)
         acc = np.zeros((nlist, dim))
         for r in agg:
-            acc[r["centroid"], r["pos"]] = r["s"]
-            if r["pos"] == 0:  # cnt is duplicated per pos; read it once
-                counts[r["centroid"]] = r["n"]
+            acc[r["centroid"]] = np.asarray(r["vsum"], dtype=np.float64)
+            counts[r["centroid"]] = r["n"]
         nz = counts > 0
         new_cn[nz] = acc[nz] / counts[nz, None]
         cn = _unit_rows(new_cn)

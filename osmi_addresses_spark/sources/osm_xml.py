@@ -42,8 +42,23 @@ def _open_bytes(path: str, content: bytes):
 
 
 def _entities_from_xml(path: str, content: bytes) -> Iterator[dict]:
-    for _event, elem in ET.iterparse(_open_bytes(path, content), events=("end",)):
+    # capture the root from the first 'start' event and periodically detach
+    # processed children: elem.clear() alone leaves one empty Element per
+    # entity accumulating on the root, linear growth on a monolithic .osm
+    root = None
+    cleared = 0
+    for event, elem in ET.iterparse(
+        _open_bytes(path, content), events=("start", "end")
+    ):
+        if event == "start":
+            if root is None:
+                root = elem
+            continue
         tag = elem.tag
+        if tag in ("node", "way", "relation"):
+            cleared += 1
+            if root is not None and cleared % 10_000 == 0:
+                del root[:]
         if tag == "node":
             yield {
                 "entity": "node",

@@ -35,3 +35,30 @@ def test_long_path_log_rounds(spark):
 def test_no_edges(spark):
     got = _cc(spark, [5, 6], [])
     assert got == {5: 5, 6: 6}
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint() rounds (cluster-durable) produce identical components to
+    localCheckpoint rounds, and auto-enable once a checkpoint dir is set."""
+    import pytest
+
+    v = spark.createDataFrame([(i,) for i in range(8)], ["v"])
+    e = spark.createDataFrame([(i, i + 1) for i in range(0, 6)], ["src", "dst"])
+    want = {r["v"]: r["component"] for r in connected_components(v, e).collect()}
+
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        connected_components(v, e, reliable_checkpoint=True)
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got = {
+            r["v"]: r["component"]
+            for r in connected_components(v, e, reliable_checkpoint=True).collect()
+        }
+        # with a checkpoint dir configured, reliable mode is the default
+        auto = {
+            r["v"]: r["component"] for r in connected_components(v, e).collect()
+        }
+    finally:
+        spark.sparkContext.setCheckpointDir(None)
+    assert got == want == auto

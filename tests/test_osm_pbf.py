@@ -54,7 +54,8 @@ def test_pbf_blob_parallelism(spark, small_world, tmp_path):
     )
     blobs = scan_blobs(p)
     assert len(blobs) > 5, "expected multiple blobs"
-    assert all(t == "OSMData" for *_x, t in blobs)
+    assert blobs[0][3] == "OSMHeader"
+    assert all(t == "OSMData" for *_x, t in blobs[1:])
     ents = read_osm_pbf(spark, p)
     assert ents.filter("entity = 'node'").count() == len(small_world.nodes)
     assert ents.filter("entity = 'way'").count() == len(small_world.ways)
@@ -74,3 +75,77 @@ def test_pipeline_from_pbf(spark, small_world, small_docs, tmp_path):
         # coords differ below the 1e-7 PBF quantum; compare non-geom columns
         cols = [c for c in a.columns if c != "geom"]
         assert a.select(cols).exceptAll(b.select(cols)).count() == 0, layer
+
+
+def test_packed_numpy_matches_python_scanner():
+    """The vectorized varint scanner must agree with the python-loop
+    reference on random packed arrays across all (signed, delta) modes,
+    including 64-bit extremes and empty input."""
+    import random
+
+    from osmi_addresses_spark.sources.osm_pbf import (
+        _enc_packed,
+        _packed,
+        _packed_py,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        [],
+        [0],
+        [1, 127, 128, 300, 2**32, 2**62],
+        [rng.randrange(-(2**40), 2**40) for _ in range(5000)],
+        [rng.randrange(0, 2**63 - 1) for _ in range(100)],
+    ]
+    for vals in cases:
+        for signed in (False, True):
+            for delta in (False, True):
+                if not signed and any(v < 0 for v in vals):
+                    continue
+                if delta and not signed and vals and min(
+                    b - a for a, b in zip([0] + vals[:-1], vals)
+                ) < 0:
+                    continue
+                buf = _enc_packed(vals, signed=signed, delta=delta)
+                got = _packed(buf, signed=signed, delta=delta)
+                want = _packed_py(buf, signed=signed, delta=delta)
+                assert list(got) == want, (signed, delta)
+
+
+def test_pbf_header_blob_written_and_checked(small_world, tmp_path):
+    """write_osm_pbf emits a leading OSMHeader declaring required_features;
+    the reader accepts it, and rejects a header requiring features this
+    decoder does not implement."""
+    import struct
+
+    import pytest
+
+    from osmi_addresses_spark.sources.osm_pbf import (
+        _blob_bytes,
+        _enc_field,
+        _fields,
+        _check_header,
+    )
+    import zlib
+
+    p = write_osm_pbf(
+        str(tmp_path / "h.osm.pbf"), small_world.nodes[:10], small_world.ways[:2]
+    )
+    blobs = scan_blobs(p)
+    assert blobs[0][3] == "OSMHeader"
+    hdr = _blob_bytes(p, blobs[0][1], blobs[0][2])
+    req = [v.decode() for f, _w, v in _fields(hdr) if f == 4]
+    assert set(req) == {"OsmSchema-V0.6", "DenseNodes"}
+    _check_header(p, blobs[0][1], blobs[0][2])  # accepted
+
+    # a file requiring an unimplemented feature must be rejected
+    bad_block = _enc_field(4, 2, b"HistoricalInformation")
+    z = zlib.compress(bad_block)
+    body = _enc_field(2, 0, len(bad_block)) + _enc_field(3, 2, z)
+    header = _enc_field(1, 2, b"OSMHeader") + _enc_field(3, 0, len(body))
+    bad = str(tmp_path / "bad.osm.pbf")
+    with open(bad, "wb") as f:
+        f.write(struct.pack(">i", len(header)) + header + body)
+    bb = scan_blobs(bad)
+    with pytest.raises(ValueError, match="HistoricalInformation"):
+        _check_header(bad, bb[0][1], bb[0][2])

@@ -203,3 +203,38 @@ def test_media_phash_paths_agree(spark, small_docs):
     }
     assert via_buffer == via_column
     assert all(len(p) == 64 and set(p) <= {"0", "1"} for p in via_buffer.values())
+
+
+def test_media_codec_adapter_injection(spark, small_docs):
+    """The codec seam: a custom decoder drops into decode_media_buffers with
+    no other change, its output flows through the same plumbing, and a
+    codec violating the PIXELS-byte contract fails loudly."""
+    import hashlib
+
+    from osmi_addresses_spark.operators.media import (
+        PIXELS,
+        decode_media_buffers,
+        media_spans,
+    )
+
+    entities = parse_documents(small_docs)
+    spans = media_spans(entities)
+
+    def sha_codec(ref: str) -> bytes:
+        out = b""
+        h = ref.encode()
+        while len(out) < PIXELS:
+            h = hashlib.sha256(h).digest()
+            out += h
+        return out[:PIXELS]
+
+    rows = decode_media_buffers(spans, codec=sha_codec).collect()
+    assert rows and all(len(r["pixels"]) == PIXELS for r in rows)
+    want = {r["media_ref"]: sha_codec(r["media_ref"]) for r in rows}
+    assert all(bytes(r["pixels"]) == want[r["media_ref"]] for r in rows)
+
+    def bad_codec(ref: str) -> bytes:
+        return b"short"
+
+    with pytest.raises(Exception, match="codec contract violation"):
+        decode_media_buffers(spans, codec=bad_codec).collect()
