@@ -123,6 +123,57 @@ def min_segment_dist(coords: Column, plon: Column, plat: Column) -> Column:
     )
 
 
+def segments_of(coords: Column) -> Column:
+    """coords → array<struct ax,ay,bx,by,dx,dy,len2>: per-segment geometry
+    precomputed ONCE at index-build time. dx/dy/len2 are computed with the
+    identical ops as min_segment_dist's inline forms (dx ≡ bx-ax bit-for-bit),
+    so distances from the precomputed path equal the inline path exactly."""
+    n = F.size(coords)
+    return F.zip_with(
+        F.slice(coords, 1, n - 1),
+        F.slice(coords, 2, n - 1),
+        lambda p, q: F.struct(
+            p["lon"].alias("ax"),
+            p["lat"].alias("ay"),
+            q["lon"].alias("bx"),
+            q["lat"].alias("by"),
+            (q["lon"] - p["lon"]).alias("dx"),
+            (q["lat"] - p["lat"]).alias("dy"),
+            (
+                (q["lon"] - p["lon"]) * (q["lon"] - p["lon"])
+                + (q["lat"] - p["lat"]) * (q["lat"] - p["lat"])
+            ).alias("len2"),
+        ),
+    )
+
+
+def min_segment_dist_pre(segs: Column, plon: Column, plat: Column) -> Column:
+    """min_segment_dist over precomputed segments (see segments_of) — the
+    hot-path form: higher-order lambdas are interpreted per row, so hoisting
+    dx/dy/len2 to index-build time cuts the per-candidate op count ~3×
+    (measured: the candidate+argmin stage was ~470 CPU-s at sf10 with the
+    inline form). One scalar-accumulator fold, no intermediate distance
+    array. Bitwise-identical results to min_segment_dist."""
+
+    def d(t):
+        r = ((plon - t["ax"]) * t["dx"] + (plat - t["ay"]) * t["dy"]) / t["len2"]
+        d_a = F.sqrt(
+            (plon - t["ax"]) * (plon - t["ax"]) + (plat - t["ay"]) * (plat - t["ay"])
+        )
+        d_b = F.sqrt(
+            (plon - t["bx"]) * (plon - t["bx"]) + (plat - t["by"]) * (plat - t["by"])
+        )
+        s = ((t["ay"] - plat) * t["dx"] - (t["ax"] - plon) * t["dy"]) / t["len2"]
+        return (
+            F.when(t["len2"] == 0.0, d_a)
+            .when(r <= 0.0, d_a)
+            .when(r >= 1.0, d_b)
+            .otherwise(F.abs(s) * F.sqrt(t["len2"]))
+        )
+
+    return F.aggregate(segs, F.lit(BIG), lambda acc, t: F.least(acc, d(t)))
+
+
 def point_dist(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
     return F.sqrt((lon1 - lon2) * (lon1 - lon2) + (lat1 - lat2) * (lat1 - lat2))
 

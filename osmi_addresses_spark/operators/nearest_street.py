@@ -13,8 +13,9 @@ Plan shape (all relational until the winners-only refine):
       → mercator foot-point refine (Arrow UDF, winners only)
 
 Skew: common names ("Hauptstraße") in dense cells are the hot keys; the join
-key is (name, cell) so hotness is bounded per cell, and AQE skew-join splits
-oversized partitions at runtime.
+key is (name, cell) so hotness is bounded per cell, and hot keys are split
+explicitly into a broadcast branch (see ``skew_threshold``) — measured on
+Spark 4.1.2, AQE's OptimizeSkewedJoin declines this plan shape.
 """
 
 from __future__ import annotations
@@ -41,7 +42,10 @@ from ..functions.geom_np import refine_foot_points_batch
 
 
 def match_streets(
-    addr: DataFrame, streets: DataFrame, ways_geom: DataFrame | None = None
+    addr: DataFrame,
+    streets: DataFrame,
+    ways_geom: DataFrame | None = None,
+    skew_threshold: int | None = 2_000_000,
 ) -> DataFrame:
     """→ one row per *matched* addr point, with the winning way.
 
@@ -50,6 +54,23 @@ def match_streets(
 
     ``ways_geom`` (way_id, coords — one row per way) feeds the winners-only
     refine; derived from ``streets`` when not supplied.
+
+    ``skew_threshold``: explicit hot-key handling for the candidate join.
+    When the streets side is too big to broadcast (planet scale), the join
+    is a shuffle join on (name, cell) and a hot key ("Hauptstraße" in a
+    dense city cell) makes one partition dominate the stage — and Spark's
+    AQE skew split does NOT engage here (measured on 4.1.2: the rule
+    declines fragments with a downstream distribution requirement, which
+    the argmin aggregate imposes, even with forceOptimizeSkewedJoin). So
+    skew is handled explicitly, the two-phase split way: one cheap
+    map-side-combined count over the slim addr keys finds (name, cell)
+    groups above the threshold; their few street rows broadcast while the
+    hot addr rows round-robin across the cluster (never hash-shuffled on
+    the hot key), everything else takes the normal shuffle join, and the
+    union feeds the same argmin. Result-identical by construction;
+    tools/skew_probe.py is the balance proof. With no hot keys the plan
+    short-circuits to the plain single join (the detection count is the
+    only cost). None disables detection entirely.
     """
     a = addr.withColumn("cell", cell_of(F.col("lon"), F.col("lat")))
     s = streets.select(
@@ -61,12 +82,60 @@ def match_streets(
         F.col("bbox_e"),
         F.col("bbox_s"),
         F.col("bbox_w"),
-        F.col("coords").alias("way_coords"),
+        F.col("segs"),
         F.col("lastchange").alias("way_lastchange"),
     )
-    cand = a.join(
-        s, (a["lookup_name"] == s["street_name"]) & (a["cell"] == s["cell"]), "inner"
-    ).drop("street_name", "cell")
+    join_on = (a["lookup_name"] == s["street_name"]) & (a["cell"] == s["cell"])
+    hot = []
+    if skew_threshold:
+        # one slim map-side-combined count over (name, cell); the hot set is
+        # tiny by construction (>= threshold rows each), so it collects to
+        # the driver and the common no-skew case short-circuits to the plain
+        # single-join plan - no duplicated addr subtree, no flag join
+        hot = (
+            a.groupBy("lookup_name", "cell")
+            .count()
+            .filter(F.col("count") >= skew_threshold)
+            .select("lookup_name", "cell")
+            .limit(10_000)
+            .collect()
+        )
+    if hot:
+        hot_tuples = [(r["lookup_name"], r["cell"]) for r in hot]
+        hot_lits = F.array(
+            *[F.struct(F.lit(n).alias("n"), F.lit(c).alias("c")) for n, c in hot_tuples]
+        )
+        a_pred = F.array_contains(
+            hot_lits, F.struct(F.col("lookup_name").alias("n"), F.col("cell").alias("c"))
+        )
+        s_pred = F.array_contains(
+            hot_lits, F.struct(F.col("street_name").alias("n"), F.col("cell").alias("c"))
+        )
+        # round-robin the hot rows across the cluster before the broadcast
+        # join: hot keys are by definition clumped (a dense city's addrs sit
+        # in few input splits), and the broadcast join otherwise inherits
+        # that clumping; the extra shuffle moves only the slim hot rows
+        n_shuffle = int(
+            addr.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        a_hot = a.filter(a_pred).repartition(n_shuffle)
+        a_cold = a.filter(~a_pred)
+        s_hot = F.broadcast(s.filter(s_pred))
+        cand = (
+            a_cold.join(
+                s, (a_cold["lookup_name"] == s["street_name"]) & (a_cold["cell"] == s["cell"])
+            )
+            .drop("street_name", "cell")
+            .unionByName(
+                a_hot.join(
+                    s_hot,
+                    (a_hot["lookup_name"] == s_hot["street_name"])
+                    & (a_hot["cell"] == s_hot["cell"]),
+                ).drop("street_name", "cell")
+            )
+        )
+    else:
+        cand = a.join(s, join_on, "inner").drop("street_name", "cell")
     cand = cand.filter(
         G.is_point_near_bbox(
             F.col("bbox_n"), F.col("bbox_e"), F.col("bbox_s"), F.col("bbox_w"),
@@ -80,8 +149,8 @@ def match_streets(
     # the linestring) made the partial-agg stage GC-bound (measured 557 s GC
     # in an 877 s stage at sf10/32 cores).
     cand = cand.withColumn(
-        "dist", G.min_segment_dist(F.col("way_coords"), F.col("lon"), F.col("lat"))
-    ).drop("bbox_n", "bbox_e", "bbox_s", "bbox_w", "way_coords")
+        "dist", G.min_segment_dist_pre(F.col("segs"), F.col("lon"), F.col("lat"))
+    ).drop("bbox_n", "bbox_e", "bbox_s", "bbox_w", "segs")
     # strict-'<' scan order: closer wins; ties → area side (scanned first),
     # then insertion (way id) order. min_by over a total-order struct is a
     # hash aggregate (partial+final, map-side combine, no sort) — same

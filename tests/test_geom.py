@@ -107,3 +107,39 @@ def test_refine_restricted_to_adjacent_segments():
     flon, flat = refine_foot_point(lons, lats, 0.9, -0.01)
     # closest vertex is (1,0); adjacent segments only
     assert flat == pytest.approx(0.0, abs=1e-6)
+
+
+def test_segment_dist_precomputed_bitwise_equal(spark):
+    """min_segment_dist_pre over segments_of must equal min_segment_dist
+    over raw coords bit-for-bit (the hot path swaps in the precomputed
+    form; any float drift would silently flip argmin winners)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osmi_addresses_spark.functions import geom_sql as G
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(300):
+        n = rng.randint(2, 8)
+        pts = [
+            {"lon": 8.78 + rng.random() * 0.02, "lat": 47.25 + rng.random() * 0.01}
+            for _ in range(n)
+        ]
+        if i % 7 == 0:  # zero-length segment case
+            pts[1] = dict(pts[0])
+        rows.append((i, pts, 8.78 + rng.random() * 0.02, 47.25 + rng.random() * 0.01))
+    df = spark.createDataFrame(
+        rows, "id long, coords array<struct<lon:double,lat:double>>, plon double, plat double"
+    )
+    out = df.select(
+        G.min_segment_dist(F.col("coords"), F.col("plon"), F.col("plat")).alias("a"),
+        G.min_segment_dist_pre(
+            G.segments_of(F.col("coords")), F.col("plon"), F.col("plat")
+        ).alias("b"),
+    ).collect()
+    import struct as st
+
+    for r in out:
+        assert st.pack("<d", r["a"]) == st.pack("<d", r["b"])
