@@ -55,11 +55,20 @@ def test_submit_main_from_pbf(tmp_path, spark, small_world):
         str(tmp_path / "world.osm.pbf"), small_world.nodes, small_world.ways
     )
     out = str(tmp_path / "wh_pbf")
+    sl_dir = str(tmp_path / "spatialite")
     submit_job.main(
-        ["--input", pbf, "--output", out, "--layers", "entrances"]
+        ["--input", pbf, "--output", out, "--layers", "entrances",
+         "--spatialite", sl_dir]
     )
+    # --spatialite also emits the reference's file contract for the layer
+    import sqlite3
+
+    con = sqlite3.connect(f"{sl_dir}/osmi_addresses_entrances.sqlite")
+    n_sl = con.execute("SELECT COUNT(*) FROM osmi_addresses_entrances").fetchone()[0]
+    con.close()
     manifest = json.load(open(f"{out}/layer_entrances.manifest.json"))
     total = sum(p["rows"] for p in manifest["partitions"].values())
     assert total > 0
+    assert n_sl == total
     ents_manifest = json.load(open(f"{out}/entities.manifest.json"))
     assert ents_manifest["lineage"]["source"] == pbf
