@@ -44,6 +44,12 @@ DEFAULT_CONF = {
     # broadcast automatically; big fact-fact joins stay shuffle.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",
+    # Per-DataFrame-op call-site capture costs ~2 extra py4j round trips and
+    # a Python stack walk per operation; run_all builds ~10k Column/DataFrame
+    # ops, so this was ~40% of an 8 s pure-driver plan-construction phase
+    # (part of the serial floor). Error messages lose the "DataFrame context"
+    # pointer into user code; Python tracebacks are unaffected.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # deterministic timestamp semantics for the DuckDB oracle comparisons
     "spark.sql.session.timeZone": "UTC",
     # ParallelGC + a fully pre-touched, fixed-size heap: G1 commits and
