@@ -50,12 +50,22 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
     scratch_root = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/scratch")
     os.makedirs(scratch_root, exist_ok=True)
     extra = {"spark.local.dir": os.path.join(scratch_root, "spark-bench-local")}
+    # event-log mode: emit the driver-idle (serial-floor) decomposition in
+    # the result and let scaling_bench assert thresholds on it
+    eventlog_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if eventlog_dir:
+        os.makedirs(eventlog_dir, exist_ok=True)
+        extra["spark.eventLog.enabled"] = "true"
+        extra["spark.eventLog.dir"] = eventlog_dir
     spark = get_spark(
         f"bench-{cpus}", cores=cpus, shuffle_partitions=2 * max(int(cpus), 8), extra_conf=extra
     )
-    from osmi_addresses_spark.session import warm_python_workers
+    from osmi_addresses_spark.session import warm_driver_plans, warm_python_workers
 
     warm_python_workers(spark, int(cpus))
+    # warm the driver JVM's analyzer/codegen classes too (identical cost at
+    # every parallelism level; a long-running cluster amortizes it to zero)
+    warm_driver_plans(spark)
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
@@ -71,6 +81,7 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
 
     t_start = time.time()
     layers = run_all(spark, docs, store=store, source_path=fx)
+    timings["plan_construction"] = time.time() - t_start
 
     t0 = time.time()
     counts["nodes_with_addresses"] = layers["nodes_with_addresses"].count()
@@ -110,8 +121,20 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
         "pipeline_sec": round(t_pipeline, 3),
         "counts": counts,
     }
+    app_id = spark.sparkContext.applicationId
     spark.stop()
     shutil.rmtree(workdir, ignore_errors=True)
+    if eventlog_dir:
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from stage_report import serial_floor_metrics
+
+            logdir = os.path.join(eventlog_dir, f"eventlog_v2_{app_id}")
+            result["serial_floor"] = serial_floor_metrics(
+                logdir if os.path.isdir(logdir) else os.path.join(eventlog_dir, app_id)
+            )
+        except Exception as ex:  # the bench result must survive a log-parse hiccup
+            result["serial_floor"] = {"error": str(ex)[:200]}
     return result
 
 

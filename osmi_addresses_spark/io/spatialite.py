@@ -116,7 +116,11 @@ def _with_blob(df: DataFrame) -> DataFrame:
             if xv is None or len(xv) == 0:
                 out.append(None)
             elif len(xv) == 1:
-                out.append(point_blob(float(xv[0]), float(yv[0])))
+                # a null geom struct flattens to array(NULL): one None element
+                if xv[0] is None or xv[0] != xv[0]:
+                    out.append(None)
+                else:
+                    out.append(point_blob(float(xv[0]), float(yv[0])))
             else:
                 out.append(linestring_blob(xv, yv))
         return pd.Series(out)

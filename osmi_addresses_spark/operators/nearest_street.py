@@ -62,15 +62,20 @@ def match_streets(
     AQE skew split does NOT engage here (measured on 4.1.2: the rule
     declines fragments with a downstream distribution requirement, which
     the argmin aggregate imposes, even with forceOptimizeSkewedJoin). So
-    skew is handled explicitly, the two-phase split way: one cheap
+    skew is handled explicitly by SALTING inside a single join: one cheap
     map-side-combined count over the slim addr keys finds (name, cell)
-    groups above the threshold; their few street rows broadcast while the
-    hot addr rows round-robin across the cluster (never hash-shuffled on
-    the hot key), everything else takes the normal shuffle join, and the
-    union feeds the same argmin. Result-identical by construction;
-    tools/skew_probe.py is the balance proof. With no hot keys the plan
-    short-circuits to the plain single join (the detection count is the
-    only cost). None disables detection entirely.
+    groups above the threshold; hot addr rows get salt = hash(akey) mod K
+    while the matching street rows are exploded across all K salts (cold
+    rows on both sides take salt 0), and the join key becomes
+    (name, cell, salt). One addr scan, one shuffle, no duplicated addr
+    subtree, no broadcast branch — the round-2 two-branch form scanned
+    the addr subtree twice and round-robined the hot rows through an
+    extra shuffle, which measured ~1.85× the core-seconds of the plain
+    join for identical output. Result-identical by construction (each hot
+    (a, s) pair meets at exactly one salt); tools/skew_probe.py is the
+    balance proof. With no hot keys the plan short-circuits to the plain
+    single join (the detection count is the only cost). None disables
+    detection entirely.
     """
     a = addr.withColumn("cell", cell_of(F.col("lon"), F.col("lat")))
     s = streets.select(
@@ -100,6 +105,15 @@ def match_streets(
             .limit(10_000)
             .collect()
         )
+        if len(hot) >= 10_000:
+            import warnings
+
+            warnings.warn(
+                "match_streets: hot-key detection hit the 10k cap; keys beyond "
+                "the cap fall back to the unbalanced shuffle join "
+                "(result-identical, but skew handling is partial)",
+                stacklevel=2,
+            )
     if hot:
         hot_tuples = [(r["lookup_name"], r["cell"]) for r in hot]
         hot_lits = F.array(
@@ -111,29 +125,31 @@ def match_streets(
         s_pred = F.array_contains(
             hot_lits, F.struct(F.col("street_name").alias("n"), F.col("cell").alias("c"))
         )
-        # round-robin the hot rows across the cluster before the broadcast
-        # join: hot keys are by definition clumped (a dense city's addrs sit
-        # in few input splits), and the broadcast join otherwise inherits
-        # that clumping; the extra shuffle moves only the slim hot rows
-        n_shuffle = int(
+        # salt count: enough ways to spread one hot group across the cluster
+        n_salt = int(
             addr.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        a_hot = a.filter(a_pred).repartition(n_shuffle)
-        a_cold = a.filter(~a_pred)
-        s_hot = F.broadcast(s.filter(s_pred))
-        cand = (
-            a_cold.join(
-                s, (a_cold["lookup_name"] == s["street_name"]) & (a_cold["cell"] == s["cell"])
-            )
-            .drop("street_name", "cell")
-            .unionByName(
-                a_hot.join(
-                    s_hot,
-                    (a_hot["lookup_name"] == s_hot["street_name"])
-                    & (a_hot["cell"] == s_hot["cell"]),
-                ).drop("street_name", "cell")
-            )
+        # hot addr rows: deterministic per-row salt; cold rows: salt 0.
+        # hot street rows: exploded across all salts (few rows each — a hot
+        # key means many ADDR rows per street, not many streets); cold: [0].
+        a2 = a.withColumn(
+            "_salt",
+            F.when(a_pred, F.pmod(F.hash("akey"), F.lit(n_salt))).otherwise(F.lit(0)),
         )
+        s2 = s.withColumn(
+            "_salt",
+            F.explode(
+                F.when(s_pred, F.sequence(F.lit(0), F.lit(n_salt - 1))).otherwise(
+                    F.array(F.lit(0))
+                )
+            ),
+        )
+        cand = a2.join(
+            s2,
+            (a2["lookup_name"] == s2["street_name"])
+            & (a2["cell"] == s2["cell"])
+            & (a2["_salt"] == s2["_salt"]),
+        ).drop("street_name", "cell", "_salt")
     else:
         cand = a.join(s, join_on, "inner").drop("street_name", "cell")
     cand = cand.filter(

@@ -54,6 +54,11 @@ def _round_half_away(x: np.ndarray, digits: int = 6) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
 
 
+# observability hook for tests: rows collected to the driver by the last
+# seed_centroids call, by phase
+_seed_stats: dict[str, int] = {}
+
+
 def seed_centroids(
     embeddings: DataFrame,
     nlist: int,
@@ -61,18 +66,60 @@ def seed_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """First `nlist` vectors in (md5(id-as-string), id) order — a stable
-    pseudo-random sample both engines can reproduce (Spark orderBy here,
+    pseudo-random sample both engines can reproduce (Spark side here,
     ROW_NUMBER OVER the same ordering in the DuckDB oracle). Raw vectors;
     similarity to a centroid is full cosine, so normalization is irrelevant
-    to the ordering."""
+    to the ordering.
+
+    Driver-bounded: a naive ``orderBy(md5).limit(nlist)`` over the vectors
+    plans as TakeOrderedAndProject — every partition ships its own top-nlist
+    *vectors* to the driver merge, a multi-GB spike at the documented
+    nlist≈√N sizing. Instead the exact nlist-th (md5, id) cutoff is found on
+    slim key rows behind an adaptive md5-prefix pre-filter (md5 is uniform,
+    so a prefix < ~4·nlist/N keeps the filtered set at ~4·nlist rows;
+    doubled and retried on undersample — deterministic either way), and only
+    the exact nlist winning vector rows are then fetched. Same selected set
+    as the naive form by construction."""
+    slim = embeddings.select(
+        F.md5(F.col(id_col).cast("string")).alias("h"), F.col(id_col).alias("i")
+    )
+    n = slim.count()
+    if n == 0:
+        raise ValueError("seed_centroids: embeddings table is empty")
+    winners = None
+    frac = min(1.0, 4.0 * nlist / n)
+    while True:
+        if frac >= 1.0:
+            winners = slim.orderBy("h", "i").limit(nlist).collect()
+            break
+        # md5 hex is 32 lowercase hex chars: lexicographic == numeric order,
+        # and comparing against an 8-char prefix thresholds on the top 32
+        # bits (an 8-char string never equals a 32-char one, so h < cut iff
+        # h[:8] < cut)
+        cut = format(min(int(frac * 2**32) + 1, 2**32 - 1), "08x")
+        cand = slim.filter(F.col("h") < cut)
+        winners = cand.orderBy("h", "i").limit(nlist).collect()
+        if len(winners) >= min(nlist, n):
+            break
+        frac *= 2.0
+    _seed_stats.clear()
+    _seed_stats["slim_rows"] = len(winners)
+    kmax_h, kmax_i = winners[-1]["h"], winners[-1]["i"]
     rows = (
-        embeddings.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
-        .limit(nlist)
+        embeddings.select(
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            F.col(id_col).alias("i"),
+            F.col(vec_col).alias("v"),
+        )
+        .filter(
+            (F.col("h") < kmax_h)
+            | ((F.col("h") == kmax_h) & (F.col("i") <= F.lit(kmax_i)))
+        )
         .collect()
     )
-    if not rows:
-        raise ValueError("seed_centroids: embeddings table is empty")
+    _seed_stats["vec_rows"] = len(rows)
+    rows.sort(key=lambda r: (r["h"], r["i"]))
+    rows = rows[:nlist]
     return np.array([r["v"] for r in rows], dtype=np.float64)
 
 

@@ -149,86 +149,117 @@ def run_all(
         )
     )
 
-    streets_index = _persist(build_streets_index(ways_geo))
-    places_index = build_places_index(nodes, ways_geo.filter(F.size("refs") >= 2))
+    # Independent subtree constructions run on a small thread pool: plan
+    # building is driver-side py4j chatter (the cluster idles through it),
+    # py4j is thread-safe with one connection per thread, and the round
+    # trips overlap — part of the serial-floor work (BASELINE.md scaling
+    # rule). The DAG built is identical to the sequential form.
+    from concurrent.futures import ThreadPoolExecutor
 
-    interp_layer, ip_points = interpolation_plan(ways_p2, nodes)
-    # densified points inherit the ways-scan partitioning, where interp ways
-    # occupy only a handful of splits — without a redistribution the whole
-    # downstream match runs that narrow (measured: 8 × 11 s straggler tasks
-    # capping the candidate stage at any core count). Hash-repartition on
-    # the point key before persisting; 2.3M slim rows, cheap shuffle.
-    ip_points = _persist(ip_points.repartition(F.col("way_id"), F.col("k")))
-
-    # ---- addr points for the street match (J3-J5) ----
-    n_street = nodes.filter(F.col("tags")["addr:street"].isNotNull()).select(
-        L.akey_node(F.col("node_id")).alias("akey"),
-        F.lit("node").alias("obj_type"),
-        F.col("node_id").alias("obj_id"),
-        F.col("tags")["addr:street"].alias("lookup_name"),
-        "lon",
-        "lat",
-        F.lit(0).alias("phase"),
-        F.col("node_id").alias("ord1"),
-        F.lit(0).cast("long").alias("ord2"),
-    )
-    w_street = way_centroids.filter(F.col("tags")["addr:street"].isNotNull()).select(
-        L.akey_way(F.col("way_id")).alias("akey"),
-        F.lit("way").alias("obj_type"),
-        F.col("way_id").alias("obj_id"),
-        F.col("tags")["addr:street"].alias("lookup_name"),
-        F.col("centroid")["lon"].alias("lon"),
-        F.col("centroid")["lat"].alias("lat"),
-        F.lit(1).alias("phase"),
-        F.col("way_id").alias("ord1"),
-        F.lit(WAY_CENTROID_ORD2).cast("long").alias("ord2"),
-    )
-    ip_street = ip_points.select(
-        L.akey_ip(F.col("way_id"), F.col("k")).alias("akey"),
-        F.lit("ip").alias("obj_type"),
-        F.lit(0).cast("long").alias("obj_id"),  # DUMMY_ID
-        F.col("street").alias("lookup_name"),
-        "lon",
-        "lat",
-        F.lit(1).alias("phase"),
-        F.col("way_id").alias("ord1"),
-        F.col("k").alias("ord2"),
-    )
-    street_addr = n_street.unionByName(w_street).unionByName(ip_street)
-    street_matches = _persist(
-        match_streets(
-            street_addr, streets_index, ways_geom=ways_geo.select("way_id", "coords")
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_streets_idx = pool.submit(lambda: _persist(build_streets_index(ways_geo)))
+        f_places_idx = pool.submit(
+            lambda: build_places_index(nodes, ways_geo.filter(F.size("refs") >= 2))
         )
-    )
+        f_interp = pool.submit(lambda: interpolation_plan(ways_p2, nodes))
+        f_simple = pool.submit(
+            lambda: {
+                "ways_with_addresses": L.ways_with_addresses(ways_p2),
+                "ways_with_postal_code": L.ways_with_postal_code(ways_p2),
+                "entrances": L.entrances(nodes),
+                "addrx_on_nonclosed_way": L.addrx_on_nonclosed_way(ways_p2),
+                "buildings": L.buildings(spark),
+            }
+        )
+        interp_layer, ip_points = f_interp.result()
+        # densified points inherit the ways-scan partitioning, where interp
+        # ways occupy only a handful of splits — without a redistribution the
+        # whole downstream match runs that narrow (measured: 8 × 11 s
+        # straggler tasks capping the candidate stage at any core count).
+        # Hash-repartition on the point key before persisting; slim rows.
+        ip_points = _persist(ip_points.repartition(F.col("way_id"), F.col("k")))
 
-    # ---- addr points for the place match (J6) ----
-    n_fallback = n_street.withColumn("via", F.lit("street"))
-    n_place = nodes.filter(F.col("tags")["addr:place"].isNotNull()).select(
-        L.akey_node(F.col("node_id")).alias("akey"),
-        F.lit("node").alias("obj_type"),
-        F.col("node_id").alias("obj_id"),
-        F.col("tags")["addr:place"].alias("lookup_name"),
-        "lon",
-        "lat",
-        F.lit(0).alias("phase"),
-        F.col("node_id").alias("ord1"),
-        F.lit(0).cast("long").alias("ord2"),
-        F.lit("place").alias("via"),
-    )
-    w_place = way_centroids.filter(F.col("tags")["addr:place"].isNotNull()).select(
-        L.akey_way(F.col("way_id")).alias("akey"),
-        F.lit("way").alias("obj_type"),
-        F.col("way_id").alias("obj_id"),
-        F.col("tags")["addr:place"].alias("lookup_name"),
-        F.col("centroid")["lon"].alias("lon"),
-        F.col("centroid")["lat"].alias("lat"),
-        F.lit(1).alias("phase"),
-        F.col("way_id").alias("ord1"),
-        F.lit(WAY_CENTROID_ORD2).cast("long").alias("ord2"),
-        F.lit("place").alias("via"),
-    )
-    place_addr = n_fallback.unionByName(n_place).unionByName(w_place)
-    place_matches = _persist(match_places(place_addr, places_index))
+        # ---- addr points for the street match (J3-J5) ----
+        n_street = nodes.filter(F.col("tags")["addr:street"].isNotNull()).select(
+            L.akey_node(F.col("node_id")).alias("akey"),
+            F.lit("node").alias("obj_type"),
+            F.col("node_id").alias("obj_id"),
+            F.col("tags")["addr:street"].alias("lookup_name"),
+            "lon",
+            "lat",
+            F.lit(0).alias("phase"),
+            F.col("node_id").alias("ord1"),
+            F.lit(0).cast("long").alias("ord2"),
+        )
+
+        def _street_matches():
+            w_street = way_centroids.filter(
+                F.col("tags")["addr:street"].isNotNull()
+            ).select(
+                L.akey_way(F.col("way_id")).alias("akey"),
+                F.lit("way").alias("obj_type"),
+                F.col("way_id").alias("obj_id"),
+                F.col("tags")["addr:street"].alias("lookup_name"),
+                F.col("centroid")["lon"].alias("lon"),
+                F.col("centroid")["lat"].alias("lat"),
+                F.lit(1).alias("phase"),
+                F.col("way_id").alias("ord1"),
+                F.lit(WAY_CENTROID_ORD2).cast("long").alias("ord2"),
+            )
+            ip_street = ip_points.select(
+                L.akey_ip(F.col("way_id"), F.col("k")).alias("akey"),
+                F.lit("ip").alias("obj_type"),
+                F.lit(0).cast("long").alias("obj_id"),  # DUMMY_ID
+                F.col("street").alias("lookup_name"),
+                "lon",
+                "lat",
+                F.lit(1).alias("phase"),
+                F.col("way_id").alias("ord1"),
+                F.col("k").alias("ord2"),
+            )
+            street_addr = n_street.unionByName(w_street).unionByName(ip_street)
+            return _persist(
+                match_streets(
+                    street_addr,
+                    f_streets_idx.result(),
+                    ways_geom=ways_geo.select("way_id", "coords"),
+                )
+            )
+
+        # street-match construction embeds the hot-key detection job; run it
+        # on the pool so it overlaps the place-match construction below
+        f_street = pool.submit(_street_matches)
+
+        # ---- addr points for the place match (J6) ----
+        n_fallback = n_street.withColumn("via", F.lit("street"))
+        n_place = nodes.filter(F.col("tags")["addr:place"].isNotNull()).select(
+            L.akey_node(F.col("node_id")).alias("akey"),
+            F.lit("node").alias("obj_type"),
+            F.col("node_id").alias("obj_id"),
+            F.col("tags")["addr:place"].alias("lookup_name"),
+            "lon",
+            "lat",
+            F.lit(0).alias("phase"),
+            F.col("node_id").alias("ord1"),
+            F.lit(0).cast("long").alias("ord2"),
+            F.lit("place").alias("via"),
+        )
+        w_place = way_centroids.filter(F.col("tags")["addr:place"].isNotNull()).select(
+            L.akey_way(F.col("way_id")).alias("akey"),
+            F.lit("way").alias("obj_type"),
+            F.col("way_id").alias("obj_id"),
+            F.col("tags")["addr:place"].alias("lookup_name"),
+            F.col("centroid")["lon"].alias("lon"),
+            F.col("centroid")["lat"].alias("lat"),
+            F.lit(1).alias("phase"),
+            F.col("way_id").alias("ord1"),
+            F.lit(WAY_CENTROID_ORD2).cast("long").alias("ord2"),
+            F.lit("place").alias("via"),
+        )
+        place_addr = n_fallback.unionByName(n_place).unionByName(w_place)
+        place_matches = _persist(match_places(place_addr, f_places_idx.result()))
+        simple_layers = f_simple.result()
+        street_matches = f_street.result()
 
     flags = L._match_flags(street_matches, place_matches)
 
@@ -246,11 +277,7 @@ def run_all(
         "nearest_areas": L.nearest_areas(street_matches, ways_geo),
         "interpolation": interp_layer,
         "nodes_with_addresses": nwa,
-        "ways_with_addresses": L.ways_with_addresses(ways_p2),
-        "ways_with_postal_code": L.ways_with_postal_code(ways_p2),
-        "entrances": L.entrances(nodes),
-        "addrx_on_nonclosed_way": L.addrx_on_nonclosed_way(ways_p2),
-        "buildings": L.buildings(spark),
+        **simple_layers,
     }
     out["nwa"] = out["nodes_with_addresses"]
     out["no_addr_street"] = V.no_addr_street(nwa)

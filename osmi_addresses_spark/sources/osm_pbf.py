@@ -116,6 +116,12 @@ def _packed(buf: bytes, signed: bool = False, delta: bool = False) -> np.ndarray
     starts[0] = 0
     starts[1:] = ends_idx[:-1] + 1
     counts = ends_idx - starts + 1
+    if counts.max() > 10:
+        # a shift >= 64 on uint64 is undefined in numpy (platform garbage);
+        # fail loudly like the python reference path instead of mis-decoding
+        raise ValueError(
+            f"malformed packed field: varint of {int(counts.max())} bytes (max 10)"
+        )
     # byte position within its varint = index - start-of-its-varint
     pos = np.arange(a.size, dtype=np.uint64) - np.repeat(
         starts.astype(np.uint64), counts
@@ -141,11 +147,28 @@ def _iso(ts_seconds: float) -> str:
 
 # ---------------------------------------------------------------- blob scan
 
+def _open_ranged(path: str):
+    """Seekable binary reader for ``path`` — POSIX open() for plain local
+    paths (the fast path), pyarrow.fs for any URI (file://, s3://, gs://,
+    hdfs:// where libhdfs is present). pyarrow NativeFile is read/seek/tell
+    compatible with a python file object, works in executor Python workers
+    (no JVM gateway there, so py4j Hadoop FileSystem is driver-only and
+    useless for the per-task fetch), and its object-store readers issue
+    true ranged GETs on seek+read. file:// deliberately routes through
+    pyarrow.fs so the remote code path is exercised by local tests."""
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        fsys, p = pafs.FileSystem.from_uri(path)
+        return fsys.open_input_file(p)
+    return open(path, "rb")
+
+
 def scan_blobs(path: str) -> list[tuple[str, int, int, str]]:
     """→ [(path, offset, size, type)] touching only headers (fileformat.proto:
     int32 header_len | BlobHeader{type=1, datasize=3} | blob bytes)."""
     out = []
-    with open(path, "rb") as f:
+    with _open_ranged(path) as f:
         while True:
             raw = f.read(4)
             if len(raw) < 4:
@@ -163,10 +186,7 @@ def scan_blobs(path: str) -> list[tuple[str, int, int, str]]:
     return out
 
 
-def _blob_bytes(path: str, offset: int, size: int) -> bytes:
-    with open(path, "rb") as f:
-        f.seek(offset)
-        blob = f.read(size)
+def _blob_payload(blob: bytes) -> bytes:
     raw = None
     for fno, _wt, v in _fields(blob):
         if fno == 1:
@@ -176,6 +196,13 @@ def _blob_bytes(path: str, offset: int, size: int) -> bytes:
     if raw is None:
         raise ValueError("blob carries no raw/zlib payload (unsupported codec)")
     return raw
+
+
+def _blob_bytes(path: str, offset: int, size: int) -> bytes:
+    with _open_ranged(path) as f:
+        f.seek(offset)
+        blob = f.read(size)
+    return _blob_payload(blob)
 
 
 # ---------------------------------------------------------- block decoding
@@ -291,43 +318,80 @@ def _decode_primitive_block(data: bytes) -> list[dict]:
 
 # ------------------------------------------------------------------ reader
 
-def _check_header(path: str, offset: int, size: int) -> None:
-    """Decode an OSMHeader blob and reject unknown required_features
-    (HeaderBlock field 4) — the osmformat contract for readers."""
-    data = _blob_bytes(path, offset, size)
+def _check_header_data(data: bytes, origin: str) -> None:
     required = [v.decode() for f, _w, v in _fields(data) if f == 4]
     unknown = [f for f in required if f not in SUPPORTED_FEATURES]
     if unknown:
         raise ValueError(
-            f"{path}: header requires unsupported features {unknown} "
+            f"{origin}: header requires unsupported features {unknown} "
             f"(supported: {sorted(SUPPORTED_FEATURES)})"
         )
 
 
-def read_osm_pbf(spark: SparkSession, path: str) -> DataFrame:
-    """path (one .osm.pbf file, or a dir/glob of them) → minimal entities
-    DataFrame; one Spark task per OSMData blob.
+def _check_header(path: str, offset: int, size: int) -> None:
+    """Decode an OSMHeader blob and reject unknown required_features
+    (HeaderBlock field 4) — the osmformat contract for readers."""
+    _check_header_data(_blob_bytes(path, offset, size), path)
 
-    NOTE: blob ranges are read with plain open() on both the driver (header
-    scan) and the executors (blob decode), so the path must be visible on
-    every node via a local or shared POSIX filesystem (NFS/Lustre/FUSE
-    mounts of object stores work). hdfs://-style URIs are rejected up
-    front — the XML path (spark binaryFile) covers Hadoop filesystems.
-    Each file's OSMHeader (when present) is validated: unknown
-    required_features fail loudly before any decode work is scheduled.
+
+def decode_pbf_buffer(buf: bytes, origin: str = "<buffer>") -> list[dict]:
+    """Decode one whole .osm.pbf file held in memory → entity row dicts.
+    Used by the streaming ingest path (binaryFile stream hands each new
+    file's content as bytes); same decode kernels as the blob-parallel
+    batch reader, including the OSMHeader required_features check."""
+    rows: list[dict] = []
+    i = 0
+    while i + 4 <= len(buf):
+        (hlen,) = struct.unpack(">i", buf[i : i + 4])
+        i += 4
+        header = buf[i : i + hlen]
+        i += hlen
+        btype, datasize = "", 0
+        for fno, _wt, v in _fields(header):
+            if fno == 1:
+                btype = v.decode()
+            elif fno == 3:
+                datasize = v
+        blob = buf[i : i + datasize]
+        i += datasize
+        if btype == "OSMHeader":
+            _check_header_data(_blob_payload(blob), origin)
+        elif btype == "OSMData":
+            rows.extend(_decode_primitive_block(_blob_payload(blob)))
+    return rows
+
+
+def read_osm_pbf(spark: SparkSession, path: str) -> DataFrame:
+    """path (one .osm.pbf file, or a dir/glob of them; plain local path or
+    any pyarrow.fs URI — file://, s3://, gs://, hdfs:// with libhdfs) →
+    minimal entities DataFrame; one Spark task per OSMData blob.
+
+    Blob ranges are read via `_open_ranged`: POSIX open() for plain paths,
+    pyarrow.fs ranged reads for URIs — on both the driver (header scan) and
+    the executors (per-task blob fetch), mirroring the reference's
+    any-readable-file front door (/root/reference/osmi/main.cpp:73). Each
+    file's OSMHeader (when present) is validated: unknown required_features
+    fail loudly before any decode work is scheduled.
     """
     import glob as _glob
     import os
 
-    if "://" in path and not path.startswith("file://"):
-        raise ValueError(
-            "read_osm_pbf reads blob ranges via POSIX open(); "
-            f"non-local URI {path!r} is not supported — copy to a shared "
-            "filesystem or use the XML reader (spark binaryFile) for "
-            "Hadoop-compatible storage"
-        )
-    path = path.removeprefix("file://")
-    if os.path.isdir(path):
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        scheme = path.split("://", 1)[0]
+        fsys, p = pafs.FileSystem.from_uri(path)
+        info = fsys.get_file_info(p)
+        if info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(p, recursive=False)
+            paths = sorted(
+                f"{scheme}://{fi.path}"
+                for fi in fsys.get_file_info(sel)
+                if fi.is_file and fi.path.endswith(".pbf")
+            )
+        else:
+            paths = [path]
+    elif os.path.isdir(path):
         paths = sorted(_glob.glob(os.path.join(path, "*.pbf")))
     else:
         paths = sorted(_glob.glob(path)) or [path]

@@ -85,12 +85,9 @@ def _entities_from_xml(path: str, content: bytes) -> Iterator[dict]:
             elem.clear()
 
 
-def read_osm_xml(spark: SparkSession, path: str) -> DataFrame:
-    """path (file / dir / glob of .osm[.gz|.bz2]) → entities DataFrame with
-    the minimal entity schema (entity, osm_id, lat, lon, lastchange, tags,
-    refs) — drop-in ahead of nodes_view/ways_view."""
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-
+def xml_entities_df(files: DataFrame) -> DataFrame:
+    """(path, content) binaryFile rows — batch OR streaming — → entities
+    with the minimal schema. Shared by read_osm_xml and streaming.stream_osm."""
     cols = [f.name for f in ENTITY_MIN_SCHEMA.fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -101,6 +98,14 @@ def read_osm_xml(spark: SparkSession, path: str) -> DataFrame:
                     yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(gen, schema=ENTITY_MIN_SCHEMA)
+
+
+def read_osm_xml(spark: SparkSession, path: str) -> DataFrame:
+    """path (file / dir / glob of .osm[.gz|.bz2]) → entities DataFrame with
+    the minimal entity schema (entity, osm_id, lat, lon, lastchange, tags,
+    refs) — drop-in ahead of nodes_view/ways_view."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return xml_entities_df(files)
 
 
 def write_osm_xml(path: str, nodes, ways) -> str:

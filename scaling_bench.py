@@ -72,6 +72,21 @@ def main():
     best_lo = min(runs[lo], key=lambda r: r["pipeline_sec"])
     best_hi = min(runs[hi], key=lambda r: r["pipeline_sec"])
     eff = (best_hi["value"] / best_lo["value"]) / (hi / lo)
+    # serial-floor regression guard (tools/stage_report.py): when bench ran
+    # with SPARK_GRAFT_EVENTLOG, assert the driver-idle decomposition stayed
+    # inside budget — a silent regression here is exactly what erodes the
+    # N→4N efficiency the north rule gates on
+    for level, best in ((lo, best_lo), (hi, best_hi)):
+        sfm = best.get("serial_floor")
+        if sfm and "error" not in sfm:
+            max_gap = float(os.environ.get("SPARK_GRAFT_MAX_GAP_S", "10"))
+            max_total = float(os.environ.get("SPARK_GRAFT_MAX_TOTAL_GAP_S", "40"))
+            assert sfm["max_gap_s"] <= max_gap, (
+                f"cores={level}: driver-idle gap {sfm['max_gap_s']}s > {max_gap}s"
+            )
+            assert sfm["total_gap_s"] <= max_total, (
+                f"cores={level}: total driver-idle {sfm['total_gap_s']}s > {max_total}s"
+            )
     out_name = os.environ.get("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING.json")
     result = {
         "fixture_sf": best_lo["sf"],

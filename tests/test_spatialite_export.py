@@ -250,3 +250,31 @@ def test_readback_row_for_row(exported, testzone_layers):
             got.append(tuple(row[:-1]) + (coords,))
         con.close()
         assert sorted(map(repr, got)) == sorted(map(repr, want)), layer
+
+
+def test_point_export_null_geom(spark, tmp_path):
+    """A null geom struct flattens to array(NULL); the encoder must emit a
+    NULL GEOMETRY instead of failing on point_blob(float(None)) (ADVICE r3)."""
+    import sqlite3
+
+    from pyspark.sql import functions as F
+
+    from osmi_addresses_spark.io.spatialite import export_layer
+
+    df = spark.createDataFrame(
+        [("1", "t", "main"), ("2", "t", "back")],
+        "node_id string, lastchange string, entrance string",
+    ).withColumn(
+        "geom",
+        F.when(
+            F.col("node_id") == "1",
+            F.struct(F.lit(8.4).alias("lon"), F.lit(49.0).alias("lat")),
+        ),
+    )
+    p = export_layer(df, "entrances", str(tmp_path))
+    con = sqlite3.connect(p)
+    rows = con.execute(
+        "SELECT node_id, GEOMETRY IS NULL FROM osmi_addresses_entrances"
+    ).fetchall()
+    con.close()
+    assert ("1", 0) in rows and ("2", 1) in rows

@@ -238,3 +238,63 @@ def test_media_codec_adapter_injection(spark, small_docs):
 
     with pytest.raises(Exception, match="codec contract violation"):
         decode_media_buffers(spans, codec=bad_codec).collect()
+
+
+def test_stream_osm_native_sources_match_batch(spark, small_world, tmp_path):
+    """Native .osm / .osm.pbf incremental ingest (VERDICT r3 item 6): a
+    two-batch file drop consumed with availableNow checkpoints must equal
+    the batch readers' rows, with the second trigger picking up only the
+    newly-landed file."""
+    from osmi_addresses_spark.sources.osm_pbf import read_osm_pbf, write_osm_pbf
+    from osmi_addresses_spark.sources.osm_xml import read_osm_xml, write_osm_xml
+    from osmi_addresses_spark.streaming.ingest import stream_osm
+
+    n_half = len(small_world.nodes) // 2
+
+    def norm(df):
+        return sorted(
+            (
+                r["entity"], r["osm_id"],
+                None if r["lat"] is None else round(r["lat"], 7),
+                None if r["lon"] is None else round(r["lon"], 7),
+                r["lastchange"],
+                tuple(sorted((r["tags"] or {}).items())),
+                tuple(r["refs"] or ()),
+            )
+            for r in df.collect()
+        )
+
+    for fmt, writer, batch_reader, ext in (
+        ("xml", write_osm_xml, read_osm_xml, "osm"),
+        ("pbf", write_osm_pbf, read_osm_pbf, "osm.pbf"),
+    ):
+        src = tmp_path / f"drop_{fmt}"
+        src.mkdir()
+        ckpt = str(tmp_path / f"ckpt_{fmt}")
+        out = str(tmp_path / f"out_{fmt}")
+        writer(str(src / f"a.{ext}"), small_world.nodes[:n_half], small_world.ways)
+        stream = stream_osm(spark, str(src), fmt=fmt)
+        assert stream.isStreaming
+
+        def drain():
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        drain()
+        got1 = spark.read.parquet(out).count()
+        assert got1 == n_half + len(small_world.ways)
+
+        # second batch lands; the checkpoint makes trigger 2 incremental
+        writer(str(src / f"b.{ext}"), small_world.nodes[n_half:], [])
+        drain()
+        sunk = spark.read.parquet(out)
+        assert sunk.count() == len(small_world.nodes) + len(small_world.ways), fmt
+
+        # stream-vs-batch row equality over the full drop
+        assert norm(sunk) == norm(batch_reader(spark, str(src))), fmt

@@ -33,6 +33,53 @@ def table_names(root: str) -> set[str]:
     }
 
 
+def sqlite_table_names(root: str) -> set[str]:
+    return {
+        f[len("osmi_addresses_"):-len(".sqlite")]
+        for f in os.listdir(root)
+        if f.startswith("osmi_addresses_") and f.endswith(".sqlite")
+    }
+
+
+def dir_kind(root: str) -> str:
+    """'sqlite' for a directory of exported SpatiaLite files (the
+    reference's own output layout, compare_sqlite.sh's input), 'store' for
+    a TableStore of parquet layer tables."""
+    return "sqlite" if sqlite_table_names(root) else "store"
+
+
+def _read_sqlite_layer(spark, root: str, name: str):
+    """One exported osmi_addresses_<name>.sqlite → DataFrame with the
+    attribute columns plus geometry decoded to a canonical WKT-like string
+    (geometry equality == string equality, matching the geometry-equality
+    inner joins of /root/reference/test/create_sqlite_diff.sh:120-146).
+    Exports are last-mile artifacts, so a driver-side read is fine here."""
+    import sqlite3
+
+    from osmi_addresses_spark.io.spatialite import decode_blob
+
+    table = f"osmi_addresses_{name}"
+    con = sqlite3.connect(os.path.join(root, f"{table}.sqlite"))
+    cols = [
+        r[1]
+        for r in con.execute(f'PRAGMA table_info("{table}")')
+        if r[1] not in ("OGC_FID", "GEOMETRY")
+    ]
+    sel = ", ".join(f'"{c}"' for c in cols) + (", " if cols else "") + "GEOMETRY"
+    rows = []
+    for r in con.execute(f'SELECT {sel} FROM "{table}"'):
+        blob = r[-1]
+        if blob is None:
+            wkt = None
+        else:
+            kind, pts = decode_blob(blob)
+            wkt = f"{kind}(" + ",".join(f"{x!r} {y!r}" for x, y in pts) + ")"
+        rows.append((*[None if v is None else str(v) for v in r[:-1]], wkt))
+    con.close()
+    schema = ", ".join(f"`{c}` string" for c in [*cols, "geometry_wkt"])
+    return spark.createDataFrame(rows, schema)
+
+
 def _comparable(df):
     """Set operations reject MAP columns; replace top-level maps with their
     entry list sorted by key (order-canonical, value-equivalent)."""
@@ -52,7 +99,19 @@ def _comparable(df):
 
 def diff_stores(spark, dir_a: str, dir_b: str, tables=None, sample: int = 3) -> dict:
     """→ {table: {"only_a": n, "only_b": n, "schema_match": bool,
-    "sample_only_a": [...], "sample_only_b": [...]}}"""
+    "sample_only_a": [...], "sample_only_b": [...]}}
+
+    Both directories must be the same kind: two TableStores (parquet layer
+    tables) or two SpatiaLite export dirs (osmi_addresses_*.sqlite —
+    geometry compared by decoded-coordinate equality)."""
+    kind_a, kind_b = dir_kind(dir_a), dir_kind(dir_b)
+    if kind_a != kind_b:
+        raise ValueError(
+            f"cannot diff a {kind_a} dir against a {kind_b} dir "
+            f"({dir_a!r} vs {dir_b!r})"
+        )
+    if kind_a == "sqlite":
+        return _diff_sqlite(spark, dir_a, dir_b, tables, sample)
     from osmi_addresses_spark.io.table import TableStore
 
     sa, sb = TableStore(dir_a), TableStore(dir_b)
@@ -77,6 +136,43 @@ def diff_stores(spark, dir_a: str, dir_b: str, tables=None, sample: int = 3) -> 
             report[name] = entry
             continue
         da, db = _comparable(da), _comparable(db)
+        only_a = da.exceptAll(db)
+        only_b = db.exceptAll(da)
+        entry["only_a"] = only_a.count()
+        entry["only_b"] = only_b.count()
+        if entry["only_a"]:
+            entry["sample_only_a"] = [r.asDict() for r in only_a.take(sample)]
+        if entry["only_b"]:
+            entry["sample_only_b"] = [r.asDict() for r in only_b.take(sample)]
+        report[name] = entry
+    return report
+
+
+def _diff_sqlite(spark, dir_a: str, dir_b: str, tables=None, sample: int = 3) -> dict:
+    """exceptAll row diff over decoded SpatiaLite exports — the workflow of
+    /root/reference/test/compare_sqlite.sh:49-96 mapped 1:1 (added/deleted
+    rows, geometry equality via the decoded coordinate string)."""
+    names = set(tables) if tables else (sqlite_table_names(dir_a) | sqlite_table_names(dir_b))
+    report: dict[str, dict] = {}
+    for name in sorted(names):
+        entry: dict = {"schema_match": True, "only_a": 0, "only_b": 0}
+        in_a = os.path.exists(os.path.join(dir_a, f"osmi_addresses_{name}.sqlite"))
+        in_b = os.path.exists(os.path.join(dir_b, f"osmi_addresses_{name}.sqlite"))
+        if not (in_a and in_b):
+            df = _read_sqlite_layer(spark, dir_a if in_a else dir_b, name)
+            entry["schema_match"] = False
+            entry["only_a" if in_a else "only_b"] = df.count()
+            entry["missing_in"] = "b" if in_a else "a"
+            report[name] = entry
+            continue
+        da = _read_sqlite_layer(spark, dir_a, name)
+        db = _read_sqlite_layer(spark, dir_b, name)
+        if da.schema != db.schema:
+            entry["schema_match"] = False
+            entry["schema_a"] = da.schema.simpleString()
+            entry["schema_b"] = db.schema.simpleString()
+            report[name] = entry
+            continue
         only_a = da.exceptAll(db)
         only_b = db.exceptAll(da)
         entry["only_a"] = only_a.count()

@@ -111,6 +111,8 @@ def run_once(split_enabled: bool, n_hot: int, n_uni: int, port: int) -> dict:
         },
     )
     try:
+        import time
+
         ways_geo, addr_pts = skewed_inputs(spark, n_hot, n_uni)
         streets = build_streets_index(ways_geo)
         m = match_streets(
@@ -121,7 +123,9 @@ def run_once(split_enabled: bool, n_hot: int, n_uni: int, port: int) -> dict:
             skew_threshold=(n_hot // 4) if split_enabled else None,
         )
         # one action: per-way match counts give total + distinct in one pass
+        t0 = time.time()
         rows = m.groupBy("way_id").count().collect()
+        wall_s = time.time() - t0
         n = sum(r["count"] for r in rows)
         n_ways = len(rows)
 
@@ -147,10 +151,13 @@ def run_once(split_enabled: bool, n_hot: int, n_uni: int, port: int) -> dict:
             if "taskMetrics" in t
         )
         med = durs[len(durs) // 2] or 1
+        total_core_s = sum(s.get("executorRunTime", 0) for s in stages) / 1000
         return {
             "split_enabled": split_enabled,
             "matched": n,
             "matched_ways": n_ways,
+            "wall_s": round(wall_s, 1),
+            "total_core_s": round(total_core_s, 1),
             "heavy_stage": heavy["stageId"],
             "n_tasks": len(durs),
             "stage_run_s": round(heavy["executorRunTime"] / 1000, 1),
@@ -183,6 +190,11 @@ def main():
     assert on["matched"] == off["matched"], "hot-key split must not change results"
     assert on["matched_ways"] == off["matched_ways"]
     assert on["ratio"] < 3, f"argmin stage still skewed with split on: {on['ratio']}"
+    cpu_ratio = on["total_core_s"] / max(off["total_core_s"], 1e-9)
+    assert cpu_ratio <= 1.3, (
+        f"salted split costs {cpu_ratio:.2f}x the plain join's core-seconds "
+        "(must be <= 1.3x — the split should buy balance nearly for free)"
+    )
     return 0
 
 

@@ -108,5 +108,80 @@ def report(logdir: str, top: int = 25) -> None:
         )
 
 
+def serial_floor_metrics(logdir: str) -> dict:
+    """Driver-idle decomposition from the job timeline: per-gap seconds
+    between consecutive jobs (merged over overlaps), the max single gap,
+    and the total. This is the mechanically-checkable serial-floor signal —
+    plan construction, collects, and manifest commits all show up as
+    inter-job idle while the cluster waits."""
+    jobs = []
+    app_start = None
+    for line in load_lines(logdir):
+        try:
+            ev = json.loads(line)
+        except Exception:
+            continue
+        if not isinstance(ev, dict):
+            continue
+        e = ev.get("Event")
+        if e == "SparkListenerApplicationStart":
+            app_start = ev["Timestamp"]
+        elif e == "SparkListenerJobStart":
+            jobs.append([ev["Job ID"], ev["Submission Time"], None])
+        elif e == "SparkListenerJobEnd":
+            for j in jobs:
+                if j[0] == ev["Job ID"]:
+                    j[2] = ev["Completion Time"]
+    jobs = [(jid, s, c) for jid, s, c in jobs if c is not None]
+    jobs.sort(key=lambda j: j[1])
+    gaps = []
+    prev_end = app_start
+    for _jid, sub, comp in jobs:
+        if prev_end is not None and sub > prev_end:
+            gaps.append((sub - prev_end) / 1000)
+        prev_end = comp if prev_end is None else max(prev_end, comp)
+    span = (prev_end - app_start) / 1000 if (app_start and prev_end) else 0.0
+    return {
+        "n_jobs": len(jobs),
+        "span_s": round(span, 2),
+        "total_gap_s": round(sum(gaps), 2),
+        "max_gap_s": round(max(gaps), 2) if gaps else 0.0,
+        "n_gaps_over_1s": sum(1 for g in gaps if g > 1.0),
+    }
+
+
+def check_serial_floor(logdir: str, max_gap_s: float = 8.0,
+                       max_total_gap_s: float = 30.0) -> list[str]:
+    """Regression guard (VERDICT r3 item 7): returns human-readable
+    violations when driver-idle gaps exceed the thresholds. Empty list =
+    clean. The first gap (session bring-up before job 0) is included on
+    purpose — warm-up belongs before the timed window, and a regression
+    there is still a regression."""
+    m = serial_floor_metrics(logdir)
+    out = []
+    if m["max_gap_s"] > max_gap_s:
+        out.append(
+            f"max inter-job driver-idle gap {m['max_gap_s']}s > {max_gap_s}s"
+        )
+    if m["total_gap_s"] > max_total_gap_s:
+        out.append(
+            f"total driver-idle {m['total_gap_s']}s > {max_total_gap_s}s "
+            f"(span {m['span_s']}s, {m['n_jobs']} jobs)"
+        )
+    return out
+
+
 if __name__ == "__main__":
+    if "--gaps" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--gaps"]
+        m = serial_floor_metrics(args[0])
+        print(json.dumps(m, indent=1))
+        viol = check_serial_floor(
+            args[0],
+            max_gap_s=float(args[1]) if len(args) > 1 else 8.0,
+            max_total_gap_s=float(args[2]) if len(args) > 2 else 30.0,
+        )
+        for v in viol:
+            print("VIOLATION:", v, file=sys.stderr)
+        sys.exit(1 if viol else 0)
     report(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 25)
