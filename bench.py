@@ -80,6 +80,7 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
     store = TableStore(workdir)
 
     t_start = time.time()
+    t_start_ms = int(t_start * 1000)
     layers = run_all(spark, docs, store=store, source_path=fx)
     timings["plan_construction"] = time.time() - t_start
 
@@ -131,7 +132,9 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
 
             logdir = os.path.join(eventlog_dir, f"eventlog_v2_{app_id}")
             result["serial_floor"] = serial_floor_metrics(
-                logdir if os.path.isdir(logdir) else os.path.join(eventlog_dir, app_id)
+                logdir if os.path.isdir(logdir) else os.path.join(eventlog_dir, app_id),
+                window_start_ms=t_start_ms,
+                window_end_ms=int((t_start + t_pipeline) * 1000),
             )
         except Exception as ex:  # the bench result must survive a log-parse hiccup
             result["serial_floor"] = {"error": str(ex)[:200]}

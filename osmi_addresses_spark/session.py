@@ -23,7 +23,14 @@ DEFAULT_CONF = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "16384",
     # Sized for local runs; on a real cluster set via spark-submit.
     "spark.sql.shuffle.partitions": "32",
-    "spark.sql.files.maxPartitionBytes": "134217728",
+    # One 32 MB row group per scan partition: the heavy match stages run ON
+    # the scan partitioning (the streets side broadcasts, so no shuffle
+    # re-partitions the addr rows before the per-candidate distance work),
+    # and 128 MB partitions left that stage as ~9 fat tasks per 12.5M addr
+    # rows — two ragged waves at 8 cores, 70% idle cores at 32 (measured:
+    # stage wall 27.1 s vs 17.8 s ideal at sf10/8c). Matches
+    # parquet.block.size below so the granularity floor is one row group.
+    "spark.sql.files.maxPartitionBytes": "33554432",
     # 32 MB parquet row groups: dynamic-partition writes keep one open
     # writer per partition per task, each buffering a full row group — with
     # 32 concurrent tasks the default 128 MB groups put ~8 GB of write
@@ -122,7 +129,6 @@ def warm_driver_plans(spark: SparkSession) -> None:
     documents table loads all of it with negligible cluster work. A planet
     job amortizes this to nothing — the minutes-long bench jobs otherwise
     count it as serial floor at every parallelism level."""
-    from .plans.pipeline import run_all
     from .schemas import DOCUMENTS_SCHEMA
 
     ts = "2020-01-01T00:00:00Z"
@@ -142,14 +148,32 @@ def warm_driver_plans(spark: SparkSession) -> None:
         ],
         schema=DOCUMENTS_SCHEMA,
     )
+    import shutil
+    import tempfile
+
+    from .io.table import TableStore
+    from .plans.pipeline import run_all as _run_all
+
+    tmp = tempfile.mkdtemp(prefix="osmi_warm_")
     try:
-        layers = run_all(spark, docs)
+        # store path: exercises the worker-side parquet parse
+        # (arrow_source), write_once committer classes, and TableStore
+        # read-back — the exact classes the timed run's first phase loads
+        docs_pq = f"{tmp}/documents.parquet"
+        docs.write.parquet(docs_pq)
+        layers = _run_all(
+            spark,
+            spark.read.parquet(docs_pq),
+            store=TableStore(f"{tmp}/store"),
+            source_path=tmp,
+        )
         layers["nodes_with_addresses"].count()
         layers["connection_line"].count()
     except Exception:
         pass  # warm-up is best-effort; the real run surfaces real errors
     finally:
         spark.catalog.clearCache()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def warm_python_workers(spark: SparkSession, parallelism: int) -> None:

@@ -108,12 +108,17 @@ def report(logdir: str, top: int = 25) -> None:
         )
 
 
-def serial_floor_metrics(logdir: str) -> dict:
+def serial_floor_metrics(
+    logdir: str, window_start_ms: int | None = None,
+    window_end_ms: int | None = None,
+) -> dict:
     """Driver-idle decomposition from the job timeline: per-gap seconds
     between consecutive jobs (merged over overlaps), the max single gap,
     and the total. This is the mechanically-checkable serial-floor signal —
     plan construction, collects, and manifest commits all show up as
-    inter-job idle while the cluster waits."""
+    inter-job idle while the cluster waits. ``window_start/end_ms``
+    restrict the analysis to a timed window (e.g. bench's t_start..t_end,
+    excluding session bring-up and warm-up, which happen before it)."""
     jobs = []
     app_start = None
     for line in load_lines(logdir):
@@ -133,14 +138,18 @@ def serial_floor_metrics(logdir: str) -> dict:
                 if j[0] == ev["Job ID"]:
                     j[2] = ev["Completion Time"]
     jobs = [(jid, s, c) for jid, s, c in jobs if c is not None]
+    t0 = window_start_ms if window_start_ms is not None else app_start
+    if window_end_ms is not None:
+        jobs = [(j, s, c) for j, s, c in jobs if s <= window_end_ms]
+    jobs = [(j, max(s, t0), max(c, t0)) for j, s, c in jobs if c >= (t0 or 0)]
     jobs.sort(key=lambda j: j[1])
     gaps = []
-    prev_end = app_start
+    prev_end = t0
     for _jid, sub, comp in jobs:
         if prev_end is not None and sub > prev_end:
             gaps.append((sub - prev_end) / 1000)
         prev_end = comp if prev_end is None else max(prev_end, comp)
-    span = (prev_end - app_start) / 1000 if (app_start and prev_end) else 0.0
+    span = (prev_end - t0) / 1000 if (t0 and prev_end) else 0.0
     return {
         "n_jobs": len(jobs),
         "span_s": round(span, 2),
