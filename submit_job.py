@@ -38,6 +38,13 @@ def main(argv=None):
         help="directory to export the reference's SpatiaLite .sqlite files "
         "(one per layer, MapServer/QGIS drop-in) in addition to the parquet tables",
     )
+    ap.add_argument(
+        "--warm",
+        action="store_true",
+        help="pre-load the driver JVM's analyzer/codegen classes with a "
+        "2-row dry run before the real plan (worth ~10s on short jobs; a "
+        "planet run amortizes it either way)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -46,6 +53,10 @@ def main(argv=None):
     from osmi_addresses_spark.plans.pipeline import run_all, write_layers
 
     spark = SparkSession.builder.appName("osmi-addresses-spark").getOrCreate()
+    if args.warm:
+        from osmi_addresses_spark.session import warm_driver_plans
+
+        warm_driver_plans(spark)
     store = TableStore(args.output)
 
     fmt = args.format
