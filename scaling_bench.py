@@ -72,21 +72,6 @@ def main():
     best_lo = min(runs[lo], key=lambda r: r["pipeline_sec"])
     best_hi = min(runs[hi], key=lambda r: r["pipeline_sec"])
     eff = (best_hi["value"] / best_lo["value"]) / (hi / lo)
-    # serial-floor regression guard (tools/stage_report.py): when bench ran
-    # with SPARK_GRAFT_EVENTLOG, assert the driver-idle decomposition stayed
-    # inside budget — a silent regression here is exactly what erodes the
-    # N→4N efficiency the north rule gates on
-    for level, best in ((lo, best_lo), (hi, best_hi)):
-        sfm = best.get("serial_floor")
-        if sfm and "error" not in sfm:
-            max_gap = float(os.environ.get("SPARK_GRAFT_MAX_GAP_S", "10"))
-            max_total = float(os.environ.get("SPARK_GRAFT_MAX_TOTAL_GAP_S", "40"))
-            assert sfm["max_gap_s"] <= max_gap, (
-                f"cores={level}: driver-idle gap {sfm['max_gap_s']}s > {max_gap}s"
-            )
-            assert sfm["total_gap_s"] <= max_total, (
-                f"cores={level}: total driver-idle {sfm['total_gap_s']}s > {max_total}s"
-            )
     out_name = os.environ.get("SPARK_GRAFT_SCALING_OUT", "BENCH_SCALING.json")
     result = {
         "fixture_sf": best_lo["sf"],
@@ -101,11 +86,29 @@ def main():
         "pipeline_sec_hi": best_hi["pipeline_sec"],
         "all_pipeline_sec_lo": [r["pipeline_sec"] for r in runs[lo]],
         "all_pipeline_sec_hi": [r["pipeline_sec"] for r in runs[hi]],
+        "serial_floor_lo": best_lo.get("serial_floor"),
+        "serial_floor_hi": best_hi.get("serial_floor"),
         "scaling_efficiency": round(eff, 3),
     }
     with open(out_name, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
+    # serial-floor regression guard (tools/stage_report.py): when bench ran
+    # with SPARK_GRAFT_EVENTLOG, assert the driver-idle decomposition stayed
+    # inside budget — a silent regression here is exactly what erodes the
+    # N→4N efficiency the north rule gates on. Runs AFTER the artifact is
+    # written so a threshold trip never discards the measurement.
+    for level, best in ((lo, best_lo), (hi, best_hi)):
+        sfm = best.get("serial_floor")
+        if sfm and "error" not in sfm:
+            max_gap = float(os.environ.get("SPARK_GRAFT_MAX_GAP_S", "10"))
+            max_total = float(os.environ.get("SPARK_GRAFT_MAX_TOTAL_GAP_S", "40"))
+            assert sfm["max_gap_s"] <= max_gap, (
+                f"cores={level}: driver-idle gap {sfm['max_gap_s']}s > {max_gap}s"
+            )
+            assert sfm["total_gap_s"] <= max_total, (
+                f"cores={level}: total driver-idle {sfm['total_gap_s']}s > {max_total}s"
+            )
 
 
 if __name__ == "__main__":
