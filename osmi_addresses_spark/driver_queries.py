@@ -877,7 +877,11 @@ def d_ngram_jaccard(spark, sf_dir):
                 )
             )
         ).alias("g"),
-    ).filter(F.substring(F.md5(F.encode("g", "utf-8")), 1, 1) < "4").distinct()
+    ).filter(F.substring(F.md5(F.encode("g", "utf-8")), 1, 1) < "4")
+    # NOTE: no global .distinct() — array_distinct already dedups grams
+    # within a doc and doc_id is unique per row, so (doc_id, g) rows are
+    # born distinct; the explicit distinct was one full extra shuffle of
+    # the gram table (the oracle's SELECT DISTINCT is equally a no-op)
     keep = (
         grams.groupBy("lang", "g")
         .agg(F.count("*").alias("df"))
