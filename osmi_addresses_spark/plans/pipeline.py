@@ -13,6 +13,7 @@ is AQE-skew-protected and salted by cell construction.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +33,27 @@ from ..sources.parser import nodes_view, parse_documents, ways_view
 
 WAY_CENTROID_ORD2 = 1 << 42
 
+# When set (see track_persists), every _persist() call appends the persisted
+# DataFrame here so a scoped caller (e.g. session.warm_driver_plans) can
+# unpersist exactly its own caches instead of spark.catalog.clearCache()'ing
+# the whole session. list.append is atomic, so the plan-construction thread
+# pool below can share one tracker.
+_PERSIST_TRACKER: list | None = None
+
+
+@contextlib.contextmanager
+def track_persists():
+    """Context manager yielding a list that collects every DataFrame
+    persisted via _persist() inside the block (including from run_all's
+    plan-construction threads)."""
+    global _PERSIST_TRACKER
+    prev = _PERSIST_TRACKER
+    _PERSIST_TRACKER = tracked = []
+    try:
+        yield tracked
+    finally:
+        _PERSIST_TRACKER = prev
+
 
 def _persist(df: DataFrame) -> DataFrame:
     """Shared-intermediate persistence (MEMORY_AND_DISK by default — with
@@ -45,7 +67,11 @@ def _persist(df: DataFrame) -> DataFrame:
     level = getattr(
         StorageLevel, os.environ.get("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK")
     )
-    return df.persist(level)  # way's own match comes after its interp points
+    out = df.persist(level)  # way's own match comes after its interp points
+    tracker = _PERSIST_TRACKER
+    if tracker is not None:
+        tracker.append(out)
+    return out
 
 
 def run_all(

@@ -338,12 +338,32 @@ def decode_pbf_buffer(buf: bytes, origin: str = "<buffer>") -> list[dict]:
     """Decode one whole .osm.pbf file held in memory → entity row dicts.
     Used by the streaming ingest path (binaryFile stream hands each new
     file's content as bytes); same decode kernels as the blob-parallel
-    batch reader, including the OSMHeader required_features check."""
+    batch reader, including the OSMHeader required_features check.
+
+    Truncated or corrupt buffers raise ValueError (naming `origin`) rather
+    than silently decoding only the complete leading blobs — a partial file
+    must fail the batch so the streaming checkpoint retries it instead of
+    committing partial rows. Producers dropping files into a streamed
+    directory must therefore write-then-atomic-rename (write to a temp name
+    outside the glob, `os.rename` into place): binaryFile snapshots are not
+    synchronized with writers, and a mid-write pickup is indistinguishable
+    from a genuinely corrupt file."""
     rows: list[dict] = []
     i = 0
-    while i + 4 <= len(buf):
+    n = len(buf)
+    while i < n:
+        if i + 4 > n:
+            raise ValueError(
+                f"{origin}: truncated .osm.pbf — {n - i} trailing byte(s) "
+                f"where a 4-byte BlobHeader length was expected at offset {i}"
+            )
         (hlen,) = struct.unpack(">i", buf[i : i + 4])
         i += 4
+        if hlen <= 0 or i + hlen > n:
+            raise ValueError(
+                f"{origin}: corrupt/truncated .osm.pbf — BlobHeader length "
+                f"{hlen} at offset {i - 4} exceeds buffer of {n} bytes"
+            )
         header = buf[i : i + hlen]
         i += hlen
         btype, datasize = "", 0
@@ -352,6 +372,11 @@ def decode_pbf_buffer(buf: bytes, origin: str = "<buffer>") -> list[dict]:
                 btype = v.decode()
             elif fno == 3:
                 datasize = v
+        if datasize < 0 or i + datasize > n:
+            raise ValueError(
+                f"{origin}: truncated .osm.pbf — blob '{btype}' declares "
+                f"{datasize} bytes at offset {i} but only {n - i} remain"
+            )
         blob = buf[i : i + datasize]
         i += datasize
         if btype == "OSMHeader":

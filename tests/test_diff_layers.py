@@ -109,3 +109,58 @@ def test_sqlite_diff_catches_row_and_geometry_change(spark, small_docs, tmp_path
     assert e["only_a"] == 2 and e["only_b"] == 1, e
     assert not is_clean(report)
     assert report["ways_with_postal_code"]["only_a"] == 0
+
+
+def test_sqlite_diff_table_in_neither_dir(spark, small_docs, tmp_path):
+    """An explicitly-requested table present in neither export dir must be
+    reported as missing-in-both — not opened (sqlite3.connect would create a
+    stray empty .sqlite inside the compared dir; ADVICE r4)."""
+    from osmi_addresses_spark.io.spatialite import export_layer
+
+    layers = run_all(spark, small_docs)
+    export_layer(layers["entrances"], "entrances", str(tmp_path / "na"))
+    export_layer(layers["entrances"], "entrances", str(tmp_path / "nb"))
+
+    report = diff_stores(
+        spark, str(tmp_path / "na"), str(tmp_path / "nb"),
+        tables=["entrances", "no_such_layer"],
+    )
+    e = report["no_such_layer"]
+    assert e["missing_in"] == "both" and not e["schema_match"]
+    assert not is_clean(report)
+    # no stray file was created in either dir
+    for d in ("na", "nb"):
+        assert not os.path.exists(
+            str(tmp_path / d / "osmi_addresses_no_such_layer.sqlite")
+        )
+
+
+def test_serial_floor_metrics_no_app_start(tmp_path):
+    """serial_floor_metrics with neither ApplicationStart nor an explicit
+    window anchors at the first job's submission (ADVICE r4: t0=None used to
+    TypeError in max(s, None))."""
+    import json as _json
+
+    from tools.stage_report import serial_floor_metrics
+
+    log = tmp_path / "evlog"
+    log.mkdir()
+    events = [
+        {"Event": "SparkListenerJobStart", "Job ID": 0, "Submission Time": 1000},
+        {"Event": "SparkListenerJobEnd", "Job ID": 0, "Completion Time": 3000},
+        {"Event": "SparkListenerJobStart", "Job ID": 1, "Submission Time": 6000},
+        {"Event": "SparkListenerJobEnd", "Job ID": 1, "Completion Time": 8000},
+    ]
+    with open(log / "events_app", "w") as f:
+        for ev in events:
+            f.write(_json.dumps(ev) + "\n")
+    m = serial_floor_metrics(str(log))
+    assert m["n_jobs"] == 2
+    assert m["span_s"] == 7.0  # 1000..8000 anchored at first submission
+    assert m["total_gap_s"] == 3.0  # 3000..6000
+    # and the empty-log case stays total-zero, not an exception
+    empty = tmp_path / "evlog2"
+    empty.mkdir()
+    (empty / "events_app").write_text("")
+    m2 = serial_floor_metrics(str(empty))
+    assert m2["n_jobs"] == 0

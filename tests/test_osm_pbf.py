@@ -182,3 +182,37 @@ def test_packed_rejects_overlong_varint():
     bad = bytes([0x80] * 11 + [0x01])
     with pytest.raises(ValueError, match="varint"):
         _packed(bad)
+
+
+def test_decode_buffer_rejects_truncation(small_world, tmp_path):
+    """A partially-written .pbf (non-atomic drop into a streamed dir) must
+    raise — silently decoding only the complete leading blobs would let the
+    streaming checkpoint commit partial rows and permanently drop the tail
+    (ADVICE r4). Corrupt negative header lengths must not loop either."""
+    import struct
+
+    import pytest
+
+    from osmi_addresses_spark.sources.osm_pbf import decode_pbf_buffer
+
+    p = write_osm_pbf(
+        str(tmp_path / "w.osm.pbf"), small_world.nodes, small_world.ways
+    )
+    buf = open(p, "rb").read()
+    full = decode_pbf_buffer(buf, origin="full")
+    assert len(full) > 0
+
+    # truncated mid-blob: the declared datasize overruns the buffer
+    with pytest.raises(ValueError, match="truncated"):
+        decode_pbf_buffer(buf[: len(buf) - 7], origin="cut-mid-blob")
+    # 1-3 trailing garbage bytes where a header length should start
+    with pytest.raises(ValueError, match="trailing"):
+        decode_pbf_buffer(buf + b"\x00\x01", origin="trailing")
+    # corrupt negative BlobHeader length must fail, not move i backwards
+    bad = struct.pack(">i", -12) + buf[4:]
+    with pytest.raises(ValueError, match="BlobHeader length"):
+        decode_pbf_buffer(bad, origin="neg-hlen")
+    # oversized BlobHeader length
+    bad2 = struct.pack(">i", 2**30) + buf[4:]
+    with pytest.raises(ValueError, match="BlobHeader length"):
+        decode_pbf_buffer(bad2, origin="huge-hlen")

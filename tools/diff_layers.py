@@ -158,6 +158,14 @@ def _diff_sqlite(spark, dir_a: str, dir_b: str, tables=None, sample: int = 3) ->
         entry: dict = {"schema_match": True, "only_a": 0, "only_b": 0}
         in_a = os.path.exists(os.path.join(dir_a, f"osmi_addresses_{name}.sqlite"))
         in_b = os.path.exists(os.path.join(dir_b, f"osmi_addresses_{name}.sqlite"))
+        if not in_a and not in_b:
+            # Explicitly-requested table present in neither export: report it
+            # instead of opening a nonexistent path (sqlite3.connect would
+            # create a stray empty .sqlite inside the compared dir).
+            entry["schema_match"] = False
+            entry["missing_in"] = "both"
+            report[name] = entry
+            continue
         if not (in_a and in_b):
             df = _read_sqlite_layer(spark, dir_a if in_a else dir_b, name)
             entry["schema_match"] = False

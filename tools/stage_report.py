@@ -139,6 +139,11 @@ def serial_floor_metrics(
                     j[2] = ev["Completion Time"]
     jobs = [(jid, s, c) for jid, s, c in jobs if c is not None]
     t0 = window_start_ms if window_start_ms is not None else app_start
+    if t0 is None:
+        # No ApplicationStart event in the log and no explicit window:
+        # anchor the window at the first completed job's submission time
+        # (ADVICE r4: max(s, None) would TypeError below).
+        t0 = min((s for _j, s, _c in jobs), default=None)
     if window_end_ms is not None:
         jobs = [(j, s, c) for j, s, c in jobs if s <= window_end_ms]
     jobs = [(j, max(s, t0), max(c, t0)) for j, s, c in jobs if c >= (t0 or 0)]
