@@ -29,6 +29,7 @@ from .operators.nearest_place import match_places
 from .operators.nearest_street import match_streets
 from .operators.places import build_places_index
 from .operators.streets import build_streets_index
+from .plans.pipeline import WAY_CENTROID_ORD2
 from .sources.parser import nodes_view, parse_documents, ways_view
 
 # --------------------------------------------------------------------------
@@ -679,10 +680,11 @@ def _seg_dist_sql(px: str, py: str) -> str:
     )
 
 
-def sql_nearest_street(fx):
-    """GEOS segment-distance argmin with area-first strict-< tie-break, in
-    SQL (OGRLineString::Distance is segment-aware — see
-    geom_sql.min_segment_dist).
+def _street_winner_ctes(fx):
+    """Shared CTE chain ending in `win` (node_id, lon, lat, way_id, is_area):
+    the J3-J5 candidate join + GEOS segment-distance argmin with area-first
+    strict-< tie-break, in SQL (OGRLineString::Distance is segment-aware —
+    see geom_sql.min_segment_dist).
 
     The bbox prefilter uses the int16-quantized edges in double math (the
     float32 rounding of the engine is ~1e-7 — fixture margins are >1e-4).
@@ -711,20 +713,28 @@ def sql_nearest_street(fx):
   SELECT n.node_id, n.lon, n.lat, t.v AS street
   FROM nd n JOIN ntag t ON t.node_id = n.node_id AND t.k = 'addr:street'
 ), cand AS (
-  SELECT a.node_id, h.way_id, h.is_area,
+  SELECT a.node_id, a.lon, a.lat, h.way_id, h.is_area,
     """ + _seg_dist_sql("a.lon", "a.lat") + """ AS dist
   FROM ad a JOIN hwn h ON h.street_name = a.street
   WHERE a.lat < h.dn + 0.01 AND a.lat > h.ds - 0.01
     AND a.lon < h.de + 0.01/cos(radians(a.lat))
     AND a.lon > h.dw - 0.01/cos(radians(a.lat))
+), win AS (
+  SELECT node_id, lon, lat, way_id, is_area
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY node_id
+              ORDER BY dist ASC, is_area DESC, way_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
 )
+"""
+
+
+def sql_nearest_street(fx):
+    return _street_winner_ctes(fx) + """
 SELECT CAST(node_id AS VARCHAR) AS node_id, CAST(way_id AS VARCHAR) AS way_id,
        CAST(is_area AS INT) AS is_area
-FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY node_id
-            ORDER BY dist ASC, is_area DESC, way_id ASC) AS rn
-  FROM cand
-) WHERE rn = 1
+FROM win
 """
 
 
@@ -1332,6 +1342,12 @@ def all_queries():
         "ann_ivf": s_ann_ivf,
         "geo_rasterize": g_rasterize,
         "geo_polygonize": g_polygonize,
+        "geo_connection_line": g_connection_line,
+        "geo_no_addr_street": g_no_addr_street,
+        "geo_place_not_found": g_place_not_found,
+        "geo_nwa_defined": g_nwa_defined,
+        "geo_nwa_interpolated": g_nwa_interpolated,
+        "geo_interp_errors": g_interp_errors,
     }
     return qs
 
@@ -1378,6 +1394,12 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "ann_ivf": sql_ann_ivf(),
         "geo_rasterize": sql_rasterize(fx),
         "geo_polygonize": sql_polygonize(fx),
+        "geo_connection_line": sql_connection_line(fx),
+        "geo_no_addr_street": sql_no_addr_street(fx),
+        "geo_place_not_found": sql_place_not_found(fx),
+        "geo_nwa_defined": sql_nwa_defined(fx),
+        "geo_nwa_interpolated": sql_nwa_interpolated(fx),
+        "geo_interp_errors": sql_interp_errors(fx),
     }
 
 
@@ -1757,4 +1779,525 @@ SELECT q_id, n_id, rank, score FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
   FROM j
 ) WHERE rank <= {k}
+"""
+
+
+# ==========================================================================
+# round-5 gate hardening — oracle rows for the refine (G5-G8) and the four
+# derived MapServer views that were pytest-only (VERDICT r4 "What's missing")
+# ==========================================================================
+def g_connection_line(spark, sf_dir):
+    """G5-G8 foot point under the driver oracle: for each matched node addr
+    the winner way AND the connection-line endpoint (wgs→mercator, closest
+    vertex, closest point on the ≤2 adjacent segments, mercator→wgs —
+    osmi/ConnectionLinePreprocessor.hpp:147-154, 283-364). Rounded to 6 dp
+    (≈0.1 m) on both sides; the refine itself runs in float64 in both
+    engines with identical op order."""
+    d = parsed(spark, sf_dir)
+    n = d["nodes"].filter(F.col("tags")["addr:street"].isNotNull()).select(
+        L.akey_node(F.col("node_id")).alias("akey"),
+        F.lit("node").alias("obj_type"),
+        F.col("node_id").alias("obj_id"),
+        F.col("tags")["addr:street"].alias("lookup_name"),
+        "lon", "lat",
+        F.lit(0).alias("phase"),
+        F.col("node_id").alias("ord1"),
+        F.lit(0).cast("long").alias("ord2"),
+    )
+    m = match_streets(n, d["streets"])
+    return m.select(
+        G.fmt_id(F.col("obj_id")).alias("node_id"),
+        G.fmt_id(F.col("way_id")).alias("way_id"),
+        F.round(F.col("foot_lon"), 6).alias("foot_lon"),
+        F.round(F.col("foot_lat"), 6).alias("foot_lat"),
+    )
+
+
+def sql_connection_line(fx):
+    """DuckDB mirror of geom_np.refine_foot_points_batch over the argmin
+    winners: same mercator projection (R=6378137), first-minimal closest
+    vertex (squared distance — monotonic to the engine's hypot), clamped
+    projection on the ≤2 adjacent segments with the degenerate-segment →
+    b-endpoint rule, left segment taken unconditionally, right only when
+    strictly closer."""
+    R = "6378137.0"
+    return _street_winner_ctes(fx) + f"""
+, proj AS (
+  SELECT v.node_id, v.way_id,
+    {R} * radians(v.lon) AS px,
+    {R} * ln(tan(pi()/4 + radians(v.lat)/2)) AS py,
+    list_transform(c.coords, q -> {R} * radians(q.lon)) AS xs,
+    list_transform(c.coords, q -> {R} * ln(tan(pi()/4 + radians(q.lat)/2))) AS ys
+  FROM win v JOIN wgeo c USING (way_id)
+), cv AS (
+  SELECT *, list_position(d2, list_min(d2)) AS ci, len(xs) AS n FROM (
+    SELECT *, list_transform(list_zip(xs, ys),
+              z -> (z[1]-px)*(z[1]-px) + (z[2]-py)*(z[2]-py)) AS d2
+    FROM proj)
+), seg AS (
+  SELECT node_id, way_id, px, py, xs[ci] AS cx, ys[ci] AS cy,
+    ci > 1 AS has_prev, ci < n AS has_next,
+    xs[CASE WHEN ci > 1 THEN ci-1 ELSE ci END] AS lbx,
+    ys[CASE WHEN ci > 1 THEN ci-1 ELSE ci END] AS lby,
+    xs[CASE WHEN ci < n THEN ci+1 ELSE ci END] AS rbx,
+    ys[CASE WHEN ci < n THEN ci+1 ELSE ci END] AS rby
+  FROM cv
+), pts AS (
+  SELECT *,
+    (lbx-cx)*(lbx-cx)+(lby-cy)*(lby-cy) AS ld,
+    ((px-cx)*(lbx-cx)+(py-cy)*(lby-cy)) AS lt,
+    (rbx-cx)*(rbx-cx)+(rby-cy)*(rby-cy) AS rd,
+    ((px-cx)*(rbx-cx)+(py-cy)*(rby-cy)) AS rt
+  FROM seg
+), feet AS (
+  SELECT *,
+    CASE WHEN ld = 0 THEN lbx WHEN lt/ld < 0 THEN cx
+         WHEN lt/ld > 1 THEN lbx ELSE cx + (lt/ld)*(lbx-cx) END AS lfx,
+    CASE WHEN ld = 0 THEN lby WHEN lt/ld < 0 THEN cy
+         WHEN lt/ld > 1 THEN lby ELSE cy + (lt/ld)*(lby-cy) END AS lfy,
+    CASE WHEN rd = 0 THEN rbx WHEN rt/rd < 0 THEN cx
+         WHEN rt/rd > 1 THEN rbx ELSE cx + (rt/rd)*(rbx-cx) END AS rfx,
+    CASE WHEN rd = 0 THEN rby WHEN rt/rd < 0 THEN cy
+         WHEN rt/rd > 1 THEN rby ELSE cy + (rt/rd)*(rby-cy) END AS rfy
+  FROM pts
+), pick AS (
+  SELECT *,
+    CASE WHEN has_prev THEN lfx ELSE cx END AS bx0,
+    CASE WHEN has_prev THEN lfy ELSE cy END AS by0
+  FROM feet
+), best AS (
+  SELECT node_id, way_id,
+    CASE WHEN has_next AND (px-rfx)*(px-rfx)+(py-rfy)*(py-rfy)
+                         < (px-bx0)*(px-bx0)+(py-by0)*(py-by0)
+         THEN rfx ELSE bx0 END AS bx,
+    CASE WHEN has_next AND (px-rfx)*(px-rfx)+(py-rfy)*(py-rfy)
+                         < (px-bx0)*(px-bx0)+(py-by0)*(py-by0)
+         THEN rfy ELSE by0 END AS by
+  FROM pick
+)
+SELECT CAST(node_id AS VARCHAR) AS node_id, CAST(way_id AS VARCHAR) AS way_id,
+       round(degrees(bx/{R}), 6) AS foot_lon,
+       round(degrees(2*atan(exp(by/{R})) - pi()/2), 6) AS foot_lat
+FROM best
+"""
+
+
+def g_no_addr_street(spark, sf_dir):
+    """F13 no_addr_street view (addresses.map:798), node + way-centroid rows
+    (is_ip=0 by construction): nwa members whose street, fulladdr AND place
+    are all empty — a tags-only filter, no match join involved."""
+    d = parsed(spark, sf_dir)
+    t = F.col("tags")
+
+    def e(k):
+        return F.coalesce(t[k], F.lit(""))
+
+    empty3 = (e("addr:street") == "") & (e("addr:full") == "") & (e("addr:place") == "")
+    addr7_any = None
+    for k in L.ADDR7:
+        c = t[f"addr:{k}"].isNotNull()
+        addr7_any = c if addr7_any is None else (addr7_any | c)
+    n = d["nodes"].filter(addr7_any & empty3).select(
+        F.lit("node").alias("obj_type"),
+        G.fmt_id(F.col("node_id")).alias("id"),
+        t["addr:housenumber"].alias("houseno"),
+        t["addr:postcode"].alias("postcode"),
+        t["addr:city"].alias("city"),
+        t["addr:country"].alias("country"),
+    )
+    w = (
+        d["ways_p2"]
+        .filter(G.is_closed(F.col("refs")))
+        .filter(
+            t["building"].isNotNull()
+            & (t["addr:street"].isNotNull() | t["addr:housenumber"].isNotNull())
+            & empty3
+        )
+        .select(
+            F.lit("way").alias("obj_type"),
+            G.fmt_id(F.col("way_id")).alias("id"),
+            t["addr:housenumber"].alias("houseno"),
+            t["addr:postcode"].alias("postcode"),
+            t["addr:city"].alias("city"),
+            t["addr:country"].alias("country"),
+        )
+    )
+    return n.unionByName(w)
+
+
+def sql_no_addr_street(fx):
+    return _fx_prefix(fx) + """
+, ntg AS (
+  SELECT n.node_id,
+    MAX(CASE WHEN t.k = 'addr:street' THEN t.v END) AS street,
+    MAX(CASE WHEN t.k = 'addr:housenumber' THEN t.v END) AS houseno,
+    MAX(CASE WHEN t.k = 'addr:postcode' THEN t.v END) AS postcode,
+    MAX(CASE WHEN t.k = 'addr:city' THEN t.v END) AS city,
+    MAX(CASE WHEN t.k = 'addr:country' THEN t.v END) AS country,
+    MAX(CASE WHEN t.k = 'addr:full' THEN t.v END) AS fulladdr,
+    MAX(CASE WHEN t.k = 'addr:place' THEN t.v END) AS place
+  FROM nd n JOIN ntag t ON t.node_id = n.node_id
+  GROUP BY 1
+), wtg AS (
+  SELECT w.way_id,
+    MAX(CASE WHEN t.k = 'addr:street' THEN t.v END) AS street,
+    MAX(CASE WHEN t.k = 'addr:housenumber' THEN t.v END) AS houseno,
+    MAX(CASE WHEN t.k = 'addr:postcode' THEN t.v END) AS postcode,
+    MAX(CASE WHEN t.k = 'addr:city' THEN t.v END) AS city,
+    MAX(CASE WHEN t.k = 'addr:country' THEN t.v END) AS country,
+    MAX(CASE WHEN t.k = 'addr:full' THEN t.v END) AS fulladdr,
+    MAX(CASE WHEN t.k = 'addr:place' THEN t.v END) AS place,
+    MAX(CASE WHEN t.k = 'building' THEN t.v END) AS building
+  FROM wp2 w JOIN wtag t ON t.way_id = w.way_id
+  WHERE w.closed
+  GROUP BY 1
+)
+SELECT 'node' AS obj_type, CAST(node_id AS VARCHAR) AS id,
+       houseno, postcode, city, country
+FROM ntg
+WHERE (street IS NOT NULL OR houseno IS NOT NULL OR postcode IS NOT NULL
+       OR city IS NOT NULL OR country IS NOT NULL OR fulladdr IS NOT NULL
+       OR place IS NOT NULL)
+  AND COALESCE(street, '') = '' AND COALESCE(fulladdr, '') = ''
+  AND COALESCE(place, '') = ''
+UNION ALL
+SELECT 'way', CAST(way_id AS VARCHAR), houseno, postcode, city, country
+FROM wtg
+WHERE building IS NOT NULL
+  AND (street IS NOT NULL OR houseno IS NOT NULL)
+  AND COALESCE(street, '') = '' AND COALESCE(fulladdr, '') = ''
+  AND COALESCE(place, '') = ''
+"""
+
+
+def g_place_not_found(spark, sf_dir):
+    """F13 place_not_found view (addresses.map:893), node + way-centroid
+    rows: nwa members with place != '' that matched no place via either the
+    street-name fallback or the place name (pipeline-identical match_places
+    inputs: n_fallback + n_place + w_place)."""
+    d = parsed(spark, sf_dir)
+    nodes = d["nodes"]
+    t = F.col("tags")
+    base_cols = [
+        "lon", "lat",
+        F.lit(0).alias("phase"),
+        F.col("node_id").alias("ord1"),
+        F.lit(0).cast("long").alias("ord2"),
+    ]
+    n_fallback = nodes.filter(t["addr:street"].isNotNull()).select(
+        L.akey_node(F.col("node_id")).alias("akey"),
+        F.lit("node").alias("obj_type"),
+        F.col("node_id").alias("obj_id"),
+        t["addr:street"].alias("lookup_name"),
+        *base_cols,
+        F.lit("street").alias("via"),
+    )
+    n_place = nodes.filter(t["addr:place"].isNotNull()).select(
+        L.akey_node(F.col("node_id")).alias("akey"),
+        F.lit("node").alias("obj_type"),
+        F.col("node_id").alias("obj_id"),
+        t["addr:place"].alias("lookup_name"),
+        *base_cols,
+        F.lit("place").alias("via"),
+    )
+    way_centroids = (
+        d["ways_p2"]
+        .filter(G.is_closed(F.col("refs")))
+        .withColumn("centroid", G.centroid_cols(F.col("coords")))
+    )
+    w_place = way_centroids.filter(t["addr:place"].isNotNull()).select(
+        L.akey_way(F.col("way_id")).alias("akey"),
+        F.lit("way").alias("obj_type"),
+        F.col("way_id").alias("obj_id"),
+        t["addr:place"].alias("lookup_name"),
+        F.col("centroid")["lon"].alias("lon"),
+        F.col("centroid")["lat"].alias("lat"),
+        F.lit(1).alias("phase"),
+        F.col("way_id").alias("ord1"),
+        F.lit(WAY_CENTROID_ORD2).cast("long").alias("ord2"),
+        F.lit("place").alias("via"),
+    )
+    pm = match_places(
+        n_fallback.unionByName(n_place).unionByName(w_place), d["places"]
+    ).select("akey").distinct()
+
+    n_rows = nodes.filter(F.coalesce(t["addr:place"], F.lit("")) != "").select(
+        L.akey_node(F.col("node_id")).alias("akey"),
+        F.lit("node").alias("obj_type"),
+        G.fmt_id(F.col("node_id")).alias("id"),
+        t["addr:place"].alias("place"),
+        t["addr:housenumber"].alias("houseno"),
+    )
+    w_rows = way_centroids.filter(
+        t["building"].isNotNull()
+        & (t["addr:street"].isNotNull() | t["addr:housenumber"].isNotNull())
+        & (F.coalesce(t["addr:place"], F.lit("")) != "")
+    ).select(
+        L.akey_way(F.col("way_id")).alias("akey"),
+        F.lit("way").alias("obj_type"),
+        G.fmt_id(F.col("way_id")).alias("id"),
+        t["addr:place"].alias("place"),
+        t["addr:housenumber"].alias("houseno"),
+    )
+    return (
+        n_rows.unionByName(w_rows)
+        .join(pm, "akey", "left_anti")
+        .drop("akey")
+    )
+
+
+def sql_place_not_found(fx):
+    """Mirror of g_place_not_found. Way centroids use the translated
+    shoelace with a2 != 0 (every closed fixture building has nonzero area;
+    the engine's zero-area fallbacks are pytest-covered in test_geom)."""
+    return _fx_prefix(fx) + """
+, pl_nody AS (
+  SELECT n.lon, n.lat, t.v AS name FROM nd n
+  JOIN ntag t ON t.node_id = n.node_id AND t.k = 'name'
+  WHERE EXISTS (SELECT 1 FROM ntag t2 WHERE t2.node_id = n.node_id AND t2.k = 'place')
+), ring AS (
+  SELECT w.way_id, w.coords[1].lon AS xr, w.coords[1].lat AS yr,
+    list_zip(w.coords[1:len(w.coords)-1], w.coords[2:len(w.coords)]) AS prs
+  FROM wgeo w
+  WHERE NOT w.dangling AND len(w.refs) >= 2 AND w.refs[1] = w.refs[-1]
+    AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'place')
+    AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'name')
+), cent AS (
+  SELECT way_id, xr, yr,
+    list_sum(list_transform(prs, p -> (p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr))) AS a2,
+    list_sum(list_transform(prs, p -> ((p[1].lon-xr)+(p[2].lon-xr))*((p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr)))) AS cx,
+    list_sum(list_transform(prs, p -> ((p[1].lat-yr)+(p[2].lat-yr))*((p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr)))) AS cy
+  FROM ring
+), pl AS (
+  SELECT lon, lat, name FROM pl_nody
+  UNION ALL
+  SELECT c.xr + c.cx/(3*c.a2), c.yr + c.cy/(3*c.a2), t.v
+  FROM cent c JOIN wtag t ON t.way_id = c.way_id AND t.k = 'name'
+  WHERE c.a2 != 0
+), adp AS (
+  SELECT n.node_id, n.lon, n.lat, t.v AS lookup_name
+  FROM nd n JOIN ntag t ON t.node_id = n.node_id AND t.k IN ('addr:street','addr:place')
+), matched_node AS (
+  SELECT DISTINCT a.node_id
+  FROM adp a JOIN pl p ON p.name = a.lookup_name
+  WHERE sqrt((p.lon-a.lon)*(p.lon-a.lon)+(p.lat-a.lat)*(p.lat-a.lat)) < 0.01
+), wring AS (  -- centroid of every closed pass-2 way with addr:place
+  SELECT w.way_id, w.coords[1].lon AS xr, w.coords[1].lat AS yr,
+    list_zip(w.coords[1:len(w.coords)-1], w.coords[2:len(w.coords)]) AS prs
+  FROM wp2 w
+  WHERE w.closed
+    AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'addr:place')
+), wcent AS (
+  SELECT way_id, xr, yr,
+    list_sum(list_transform(prs, p -> (p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr))) AS a2,
+    list_sum(list_transform(prs, p -> ((p[1].lon-xr)+(p[2].lon-xr))*((p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr)))) AS cx,
+    list_sum(list_transform(prs, p -> ((p[1].lat-yr)+(p[2].lat-yr))*((p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr)))) AS cy
+  FROM wring
+), matched_way AS (
+  SELECT DISTINCT c.way_id
+  FROM wcent c
+  JOIN wtag t ON t.way_id = c.way_id AND t.k = 'addr:place'
+  JOIN pl p ON p.name = t.v
+  WHERE c.a2 != 0
+    AND sqrt((p.lon-(c.xr+c.cx/(3*c.a2)))*(p.lon-(c.xr+c.cx/(3*c.a2)))
+            +(p.lat-(c.yr+c.cy/(3*c.a2)))*(p.lat-(c.yr+c.cy/(3*c.a2)))) < 0.01
+), wtg AS (
+  SELECT w.way_id,
+    MAX(CASE WHEN t.k = 'addr:street' THEN t.v END) AS street,
+    MAX(CASE WHEN t.k = 'addr:housenumber' THEN t.v END) AS houseno,
+    MAX(CASE WHEN t.k = 'addr:place' THEN t.v END) AS place,
+    MAX(CASE WHEN t.k = 'building' THEN t.v END) AS building
+  FROM wp2 w JOIN wtag t ON t.way_id = w.way_id
+  WHERE w.closed
+  GROUP BY 1
+)
+SELECT 'node' AS obj_type, CAST(n.node_id AS VARCHAR) AS id,
+       tp.v AS place,
+       (SELECT v FROM ntag th WHERE th.node_id = n.node_id AND th.k = 'addr:housenumber') AS houseno
+FROM nd n
+JOIN ntag tp ON tp.node_id = n.node_id AND tp.k = 'addr:place' AND tp.v != ''
+WHERE n.node_id NOT IN (SELECT node_id FROM matched_node)
+UNION ALL
+SELECT 'way', CAST(w.way_id AS VARCHAR), w.place, w.houseno
+FROM wtg w
+WHERE w.building IS NOT NULL
+  AND (w.street IS NOT NULL OR w.houseno IS NOT NULL)
+  AND COALESCE(w.place, '') != ''
+  AND w.way_id NOT IN (SELECT way_id FROM matched_way)
+"""
+
+
+def g_nwa_defined(spark, sf_dir):
+    """F13 nodes_with_addresses_defined view (addresses.map:561 — is_ip=0
+    AND node_id > 0 → the node rows of nwa), WITH the match out-params
+    road_id / nody_place_id / wayy_place_id ('1' or NULL,
+    osmi/SecondHandler.hpp:45-49) that were previously pytest-only."""
+    d = parsed(spark, sf_dir)
+    nodes = d["nodes"]
+    t = F.col("tags")
+    n_street = nodes.filter(t["addr:street"].isNotNull()).select(
+        L.akey_node(F.col("node_id")).alias("akey"),
+        F.lit("node").alias("obj_type"),
+        F.col("node_id").alias("obj_id"),
+        t["addr:street"].alias("lookup_name"),
+        "lon", "lat",
+        F.lit(0).alias("phase"),
+        F.col("node_id").alias("ord1"),
+        F.lit(0).cast("long").alias("ord2"),
+    )
+    sm = match_streets(n_street, d["streets"])
+    n_place = nodes.filter(t["addr:place"].isNotNull()).select(
+        L.akey_node(F.col("node_id")).alias("akey"),
+        F.lit("node").alias("obj_type"),
+        F.col("node_id").alias("obj_id"),
+        t["addr:place"].alias("lookup_name"),
+        "lon", "lat",
+        F.lit(0).alias("phase"),
+        F.col("node_id").alias("ord1"),
+        F.lit(0).cast("long").alias("ord2"),
+    )
+    pm = match_places(
+        n_street.withColumn("via", F.lit("street")).unionByName(
+            n_place.withColumn("via", F.lit("place"))
+        ),
+        d["places"],
+    )
+    flags = L._match_flags(sm, pm)
+    addr7_any = None
+    for k in L.ADDR7:
+        c = t[f"addr:{k}"].isNotNull()
+        addr7_any = c if addr7_any is None else (addr7_any | c)
+    base = nodes.filter(addr7_any).select(
+        L.akey_node(F.col("node_id")).alias("akey"),
+        G.fmt_id(F.col("node_id")).alias("node_id"),
+        t["addr:street"].alias("street"),
+        t["addr:place"].alias("place"),
+        t["addr:housenumber"].alias("houseno"),
+    )
+    return base.join(flags, "akey", "left").select(
+        "node_id", "street", "place", "houseno",
+        "road_id", "nody_place_id", "wayy_place_id",
+    )
+
+
+def sql_nwa_defined(fx):
+    return _street_winner_ctes(fx) + """
+, matched_street AS (
+  SELECT DISTINCT node_id FROM win
+), pl_nody AS (
+  SELECT n.node_id AS obj_seq, n.lon, n.lat, t.v AS name, TRUE AS is_nody
+  FROM nd n JOIN ntag t ON t.node_id = n.node_id AND t.k = 'name'
+  WHERE EXISTS (SELECT 1 FROM ntag t2 WHERE t2.node_id = n.node_id AND t2.k = 'place')
+), ring AS (
+  SELECT w.way_id, w.coords[1].lon AS xr, w.coords[1].lat AS yr,
+    list_zip(w.coords[1:len(w.coords)-1], w.coords[2:len(w.coords)]) AS prs
+  FROM wgeo w
+  WHERE NOT w.dangling AND len(w.refs) >= 2 AND w.refs[1] = w.refs[-1]
+    AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'place')
+    AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'name')
+), cent AS (
+  SELECT way_id, xr, yr,
+    list_sum(list_transform(prs, p -> (p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr))) AS a2,
+    list_sum(list_transform(prs, p -> ((p[1].lon-xr)+(p[2].lon-xr))*((p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr)))) AS cx,
+    list_sum(list_transform(prs, p -> ((p[1].lat-yr)+(p[2].lat-yr))*((p[1].lon-xr)*(p[2].lat-yr) - (p[2].lon-xr)*(p[1].lat-yr)))) AS cy
+  FROM ring
+), pl AS (
+  SELECT obj_seq, lon, lat, name, is_nody FROM pl_nody
+  UNION ALL
+  SELECT c.way_id, c.xr + c.cx/(3*c.a2), c.yr + c.cy/(3*c.a2), t.v, FALSE
+  FROM cent c JOIN wtag t ON t.way_id = c.way_id AND t.k = 'name'
+  WHERE c.a2 != 0
+), adv AS (
+  SELECT n.node_id, n.lon, n.lat, t.v AS lookup_name,
+         CASE t.k WHEN 'addr:street' THEN 'street' ELSE 'place' END AS via
+  FROM nd n JOIN ntag t ON t.node_id = n.node_id AND t.k IN ('addr:street','addr:place')
+), pcand AS (
+  SELECT a.node_id, a.via, p.is_nody, p.obj_seq
+  FROM adv a JOIN pl p ON p.name = a.lookup_name
+  WHERE sqrt((p.lon-a.lon)*(p.lon-a.lon)+(p.lat-a.lat)*(p.lat-a.lat)) < 0.01
+), pwin AS (  -- J6 bug-compatible last-wins winner per (node, via)
+  SELECT node_id, via, is_nody FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY node_id, via
+              ORDER BY is_nody ASC, obj_seq DESC) AS rn
+    FROM pcand
+  ) WHERE rn = 1
+), pflags AS (
+  SELECT node_id,
+    MAX(CASE WHEN is_nody THEN '1' END) AS nody_place_id,
+    MAX(CASE WHEN NOT is_nody THEN '1' END) AS wayy_place_id
+  FROM pwin GROUP BY 1
+), ntg AS (
+  SELECT n.node_id,
+    MAX(CASE WHEN t.k = 'addr:street' THEN t.v END) AS street,
+    MAX(CASE WHEN t.k = 'addr:place' THEN t.v END) AS place,
+    MAX(CASE WHEN t.k = 'addr:housenumber' THEN t.v END) AS houseno,
+    COUNT(CASE WHEN t.k IN ('addr:street','addr:housenumber','addr:postcode',
+                            'addr:city','addr:country','addr:full','addr:place')
+          THEN 1 END) AS n_addr
+  FROM nd n JOIN ntag t ON t.node_id = n.node_id
+  GROUP BY 1
+)
+SELECT CAST(g.node_id AS VARCHAR) AS node_id, g.street, g.place, g.houseno,
+  CASE WHEN g.node_id IN (SELECT node_id FROM matched_street) THEN '1' END AS road_id,
+  f.nody_place_id, f.wayy_place_id
+FROM ntg g LEFT JOIN pflags f USING (node_id)
+WHERE g.n_addr > 0
+"""
+
+
+def g_nwa_interpolated(spark, sf_dir):
+    """F13 nodes_with_addresses_interpolated view (addresses.map:513 —
+    is_ip=1 rows): every densified point with its house number and the
+    endpoint-inherited tag fields. road_id (the ip point's own street
+    match) is exercised by geo_nearest_street/J3-J5 and the e2e oracle;
+    here the gate pins row membership + field values."""
+    d = parsed(spark, sf_dir)
+    _, pts = interpolation_plan(d["ways_p2"], d["nodes"])
+    return pts.select(
+        G.fmt_id(F.col("way_id")).alias("way_id"),
+        "houseno", "street", "postcode", "city", "country", "fulladdr", "place",
+    )
+
+
+def sql_nwa_interpolated(fx):
+    return _interp_ctes(fx) + """
+, valid AS (
+  SELECT way_id, typ, fv, lv, fnum,
+    CASE WHEN typ IN ('even','odd') THEN 2 ELSE 1 END AS inc
+  FROM calc3
+  WHERE err IS NULL AND (typ IN ('all','even','odd') OR is_correct) AND fv != lv
+), seqs AS (
+  SELECT v.way_id, v.typ, v.fnum, t.nr
+  FROM valid v, LATERAL UNNEST(
+    CASE WHEN v.fv < v.lv
+         THEN range(v.fv + v.inc, v.lv, v.inc)
+         ELSE range(v.fv - v.inc, v.lv, -v.inc) END) AS t(nr)
+)
+SELECT CAST(s.way_id AS VARCHAR) AS way_id,
+  CASE WHEN s.typ = 'alphabetic' THEN s.fnum || chr(CAST(s.nr AS INT))
+       ELSE CAST(s.nr AS VARCHAR) END AS houseno,
+  e.fstreet AS street, e.fpost AS postcode, e.fcity AS city,
+  e.fctry AS country, e.ffull AS fulladdr, e.fplace AS place
+FROM seqs s JOIN ept e USING (way_id)
+"""
+
+
+def g_interp_errors(spark, sf_dir):
+    """F13 interpolation_errors view (addresses.map:753): interpolation
+    rows with a non-empty error, all error-cascade fields."""
+    d = parsed(spark, sf_dir)
+    layer, _ = interpolation_plan(d["ways_p2"], d["nodes"])
+    return layer.filter(F.coalesce(F.col("error"), F.lit("")) != "").select(
+        "way_id", "typename", "firstno", "lastno", "error"
+    )
+
+
+def sql_interp_errors(fx):
+    return _interp_ctes(fx) + """
+SELECT CAST(way_id AS VARCHAR) AS way_id, typ AS typename,
+       CASE WHEN fraw != '' THEN fraw END AS firstno,
+       CASE WHEN lraw != '' THEN lraw END AS lastno,
+       err AS error
+FROM calc3
+WHERE err IS NOT NULL AND err != ''
 """

@@ -116,26 +116,62 @@ def match_streets(
             )
     if hot:
         hot_tuples = [(r["lookup_name"], r["cell"]) for r in hot]
-        hot_lits = F.array(
-            *[F.struct(F.lit(n).alias("n"), F.lit(c).alias("c")) for n, c in hot_tuples]
-        )
-        a_pred = F.array_contains(
-            hot_lits, F.struct(F.col("lookup_name").alias("n"), F.col("cell").alias("c"))
-        )
-        s_pred = F.array_contains(
-            hot_lits, F.struct(F.col("street_name").alias("n"), F.col("cell").alias("c"))
-        )
         # salt count: enough ways to spread one hot group across the cluster
         n_salt = int(
             addr.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
+        if len(hot_tuples) <= 256:
+            # few hot keys (the realistic case): in-line literal array —
+            # no extra join, predicate folds into the scan stage
+            hot_lits = F.array(
+                *[
+                    F.struct(F.lit(n).alias("n"), F.lit(c).alias("c"))
+                    for n, c in hot_tuples
+                ]
+            )
+            a_pred = F.array_contains(
+                hot_lits,
+                F.struct(F.col("lookup_name").alias("n"), F.col("cell").alias("c")),
+            )
+            s_pred = F.array_contains(
+                hot_lits,
+                F.struct(F.col("street_name").alias("n"), F.col("cell").alias("c")),
+            )
+        else:
+            # many hot keys: the literal array would cost O(|hot|) struct
+            # compares per row and serialize multi-MB task binaries
+            # (VERDICT r4 nit 1) — broadcast-join a tiny hot-key DataFrame
+            # instead: O(1) per row via the broadcast hash table, same
+            # semantics. 256 is far above any observed real hot set.
+            from pyspark.sql import types as T
+
+            cell_type = a.schema["cell"].dataType
+            hot_df = addr.sparkSession.createDataFrame(
+                hot_tuples,
+                T.StructType(
+                    [
+                        T.StructField("lookup_name", T.StringType()),
+                        T.StructField("cell", cell_type),
+                    ]
+                ),
+            ).withColumn("_hot", F.lit(True))
+            a = a.join(F.broadcast(hot_df), ["lookup_name", "cell"], "left")
+            s = s.join(
+                F.broadcast(
+                    hot_df.withColumnRenamed("lookup_name", "street_name")
+                ),
+                ["street_name", "cell"],
+                "left",
+            )
+            a_pred = F.col("_hot").isNotNull()
+            s_pred = F.col("_hot").isNotNull()
         # hot addr rows: deterministic per-row salt; cold rows: salt 0.
         # hot street rows: exploded across all salts (few rows each — a hot
         # key means many ADDR rows per street, not many streets); cold: [0].
         a2 = a.withColumn(
             "_salt",
             F.when(a_pred, F.pmod(F.hash("akey"), F.lit(n_salt))).otherwise(F.lit(0)),
-        )
+        ).drop("_hot")
         s2 = s.withColumn(
             "_salt",
             F.explode(
@@ -143,7 +179,7 @@ def match_streets(
                     F.array(F.lit(0))
                 )
             ),
-        )
+        ).drop("_hot")
         cand = a2.join(
             s2,
             (a2["lookup_name"] == s2["street_name"])

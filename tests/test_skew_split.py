@@ -40,3 +40,20 @@ def test_default_threshold_never_triggers_at_fixture_scale(spark):
     streets = build_streets_index(ways_geo)
     m = match_streets(addr, streets, ways_geom=ways_geo.select("way_id", "coords"))
     assert m.count() == 4000
+
+
+def test_many_hot_keys_use_broadcast_flag_path(spark):
+    """Above 256 hot (name, cell) keys the literal-array predicate would
+    serialize multi-MB task binaries and scan O(|hot|) structs per row
+    (VERDICT r4 nit 1); the broadcast-joined is_hot flag path must engage
+    and stay result-identical to the plain join."""
+    ways_geo, addr = skewed_inputs(
+        spark, 1500, 6000, n_hot_ways=20, n_uni_names=300
+    )
+    streets = build_streets_index(ways_geo)
+    geom = ways_geo.select("way_id", "coords")
+
+    plain = match_streets(addr, streets, ways_geom=geom, skew_threshold=None)
+    # threshold 5: nearly every (name, cell) group qualifies -> |hot| > 256
+    split = match_streets(addr, streets, ways_geom=geom, skew_threshold=5)
+    assert _rows(plain) == _rows(split)
