@@ -7,7 +7,10 @@ else is real and tested end-to-end against a DETERMINISTIC SYNTHETIC CODEC
 (`decode_media_buffers`), perceptual average-hash (`media_phash_col`, also
 available JVM-side as pure Column expressions), and oracle-checked phash
 dedup (driver query `media_phash_dedup`). Swapping in a real decoder only
-changes `_fake_pixels` / `_fake_features`.
+changes `_fake_pixels` / `_fake_features` — and `operators/codecs.py`
+ships a WORKED real adapter (pure-python PPM/PGM/BMP decode → integer luma
+→ 8×8 pool; `file_codec(root)`) that satisfies the same contract with no
+image libraries, tested end-to-end through `decode_media_buffers`.
 """
 
 from __future__ import annotations
