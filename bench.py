@@ -102,13 +102,30 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
     t_pipeline = time.time() - t_start
 
     if not pipeline_only:
-        # training-data ops on the driver tables
-        t0 = time.time()
-        counts["dedup_ngram_pairs"] = d_ngram_jaccard(spark, sf_dir).count()
-        timings["dedup_ngram_jaccard"] = time.time() - t0
-        t0 = time.time()
-        counts["ann_topk"] = s_ann_topk(spark, sf_dir).count()
-        timings["ann_topk"] = time.time() - t0
+        # training-data ops on the driver tables. Min-of-N per sub-query
+        # (VERDICT r4: single-run sub-query timings on this ±20-50% host
+        # can't distinguish regression from noise — r04's apparent ngram/ann
+        # regressions were unattributable). All runs are recorded alongside
+        # the min so the spread stays visible.
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+        runs: dict[str, list[float]] = {}
+
+        def timed_min(name, fn):
+            n = None
+            runs[name] = []
+            for _ in range(max(1, repeats)):
+                t0 = time.time()
+                n = fn()
+                runs[name].append(round(time.time() - t0, 3))
+            timings[name] = min(runs[name])
+            return n
+
+        counts["dedup_ngram_pairs"] = timed_min(
+            "dedup_ngram_jaccard", lambda: d_ngram_jaccard(spark, sf_dir).count()
+        )
+        counts["ann_topk"] = timed_min(
+            "ann_topk", lambda: s_ann_topk(spark, sf_dir).count()
+        )
 
     n_validated = counts["nodes_with_addresses"]
     result = {
@@ -122,6 +139,9 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
         "pipeline_sec": round(t_pipeline, 3),
         "counts": counts,
     }
+    if not pipeline_only:
+        result["subquery_runs"] = runs
+        result["subquery_estimator"] = f"min-of-{max(1, repeats)}"
     app_id = spark.sparkContext.applicationId
     spark.stop()
     shutil.rmtree(workdir, ignore_errors=True)
