@@ -151,11 +151,25 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
             from stage_report import serial_floor_metrics
 
             logdir = os.path.join(eventlog_dir, f"eventlog_v2_{app_id}")
-            result["serial_floor"] = serial_floor_metrics(
+            sfm = serial_floor_metrics(
                 logdir if os.path.isdir(logdir) else os.path.join(eventlog_dir, app_id),
                 window_start_ms=t_start_ms,
                 window_end_ms=int((t_start + t_pipeline) * 1000),
             )
+            result["serial_floor"] = sfm
+            # regression guard (VERDICT r4 item 8): the committed driver-idle
+            # budget is enforced by the DEFAULT bench run, not only
+            # scaling_bench — violations are reported in the JSON and fail
+            # the process (after printing, so the measurement survives).
+            max_gap = float(os.environ.get("SPARK_GRAFT_MAX_GAP_S", "10"))
+            max_total = float(os.environ.get("SPARK_GRAFT_MAX_TOTAL_GAP_S", "40"))
+            viol = []
+            if sfm["max_gap_s"] > max_gap:
+                viol.append(f"driver-idle gap {sfm['max_gap_s']}s > {max_gap}s")
+            if sfm["total_gap_s"] > max_total:
+                viol.append(f"total driver-idle {sfm['total_gap_s']}s > {max_total}s")
+            if viol:
+                result["serial_floor_violations"] = viol
         except Exception as ex:  # the bench result must survive a log-parse hiccup
             result["serial_floor"] = {"error": str(ex)[:200]}
     return result
@@ -166,6 +180,13 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     result = run_bench(cpus, sf_dir)
     print(json.dumps(result))
+    if result.get("serial_floor_violations"):
+        print(
+            "SERIAL-FLOOR BUDGET EXCEEDED: "
+            + "; ".join(result["serial_floor_violations"]),
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -67,7 +67,11 @@ def match_streets(
     groups above the threshold; hot addr rows get salt = hash(akey) mod K
     while the matching street rows are exploded across all K salts (cold
     rows on both sides take salt 0), and the join key becomes
-    (name, cell, salt). One addr scan, one shuffle, no duplicated addr
+    (name, cell, salt). K is sized PER KEY from its measured count
+    (ceil(count / (threshold/8)), clamped to [2, shuffle.partitions]) so a
+    barely-hot key doesn't pay the full explosion a monster key needs; the
+    key→K mapping rides as a literal map up to 256 hot keys and as a
+    broadcast-joined flag table beyond that. One addr scan, one shuffle, no duplicated addr
     subtree, no broadcast branch — the round-2 two-branch form scanned
     the addr subtree twice and round-robined the hot rows through an
     extra shuffle, which measured ~1.85× the core-seconds of the plain
@@ -101,7 +105,7 @@ def match_streets(
             a.groupBy("lookup_name", "cell")
             .count()
             .filter(F.col("count") >= skew_threshold)
-            .select("lookup_name", "cell")
+            .select("lookup_name", "cell", "count")
             .limit(10_000)
             .collect()
         )
@@ -115,46 +119,58 @@ def match_streets(
                 stacklevel=2,
             )
     if hot:
-        hot_tuples = [(r["lookup_name"], r["cell"]) for r in hot]
-        # salt count: enough ways to spread one hot group across the cluster
+        # per-key salt count (VERDICT r4 item 7): K sized from the key's own
+        # measured row count — a barely-hot key must not pay the full
+        # n_salt× street-row explosion a monster key needs. Target rows per
+        # salt = threshold/8 (a flagged key gets >= 8 salts' worth of
+        # spread), capped by the shuffle parallelism.
         n_salt = int(
             addr.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        if len(hot_tuples) <= 256:
-            # few hot keys (the realistic case): in-line literal array —
-            # no extra join, predicate folds into the scan stage
-            hot_lits = F.array(
+        target = max(1, skew_threshold // 8)
+        hot_k = {
+            (r["lookup_name"], r["cell"]): int(
+                min(n_salt, max(2, -(-r["count"] // target)))
+            )
+            for r in hot
+        }
+        sep = "\x00"  # never appears in OSM names; cell is digits
+
+        def _keyexpr(name_col: str):
+            return F.concat_ws(
+                sep, F.col(name_col), F.col("cell").cast("string")
+            )
+
+        if len(hot_k) <= 256:
+            # few hot keys (the realistic case): in-line literal map
+            # key -> K — no extra join, folds into the scan stage
+            k_map = F.create_map(
                 *[
-                    F.struct(F.lit(n).alias("n"), F.lit(c).alias("c"))
-                    for n, c in hot_tuples
+                    x
+                    for (n, c), k in hot_k.items()
+                    for x in (F.lit(f"{n}{sep}{c}"), F.lit(k))
                 ]
             )
-            a_pred = F.array_contains(
-                hot_lits,
-                F.struct(F.col("lookup_name").alias("n"), F.col("cell").alias("c")),
-            )
-            s_pred = F.array_contains(
-                hot_lits,
-                F.struct(F.col("street_name").alias("n"), F.col("cell").alias("c")),
-            )
+            a_k = k_map[_keyexpr("lookup_name")]
+            s_k = k_map[_keyexpr("street_name")]
         else:
-            # many hot keys: the literal array would cost O(|hot|) struct
-            # compares per row and serialize multi-MB task binaries
-            # (VERDICT r4 nit 1) — broadcast-join a tiny hot-key DataFrame
-            # instead: O(1) per row via the broadcast hash table, same
-            # semantics. 256 is far above any observed real hot set.
+            # many hot keys: a literal would cost O(|hot|) compares per row
+            # and serialize multi-MB task binaries (VERDICT r4 nit 1) —
+            # broadcast-join a tiny (key, K) DataFrame instead: O(1) per
+            # row via the broadcast hash table, same semantics.
             from pyspark.sql import types as T
 
             cell_type = a.schema["cell"].dataType
             hot_df = addr.sparkSession.createDataFrame(
-                hot_tuples,
+                [(n, c, k) for (n, c), k in hot_k.items()],
                 T.StructType(
                     [
                         T.StructField("lookup_name", T.StringType()),
                         T.StructField("cell", cell_type),
+                        T.StructField("_k", T.IntegerType()),
                     ]
                 ),
-            ).withColumn("_hot", F.lit(True))
+            )
             a = a.join(F.broadcast(hot_df), ["lookup_name", "cell"], "left")
             s = s.join(
                 F.broadcast(
@@ -163,23 +179,27 @@ def match_streets(
                 ["street_name", "cell"],
                 "left",
             )
-            a_pred = F.col("_hot").isNotNull()
-            s_pred = F.col("_hot").isNotNull()
-        # hot addr rows: deterministic per-row salt; cold rows: salt 0.
-        # hot street rows: exploded across all salts (few rows each — a hot
-        # key means many ADDR rows per street, not many streets); cold: [0].
+            a_k = F.col("_k")
+            s_k = F.col("_k")
+        # hot addr rows: deterministic per-row salt in [0, K_key); cold
+        # rows: salt 0. Hot street rows: exploded across their key's K
+        # salts (few rows each — a hot key means many ADDR rows per
+        # street, not many streets); cold: [0]. Each hot (a, s) pair meets
+        # at exactly one salt, so the join result is identical.
         a2 = a.withColumn(
             "_salt",
-            F.when(a_pred, F.pmod(F.hash("akey"), F.lit(n_salt))).otherwise(F.lit(0)),
-        ).drop("_hot")
+            F.when(a_k.isNotNull(), F.pmod(F.hash("akey"), a_k)).otherwise(
+                F.lit(0)
+            ),
+        ).drop("_k")
         s2 = s.withColumn(
             "_salt",
             F.explode(
-                F.when(s_pred, F.sequence(F.lit(0), F.lit(n_salt - 1))).otherwise(
+                F.when(s_k.isNotNull(), F.sequence(F.lit(0), s_k - 1)).otherwise(
                     F.array(F.lit(0))
                 )
             ),
-        ).drop("_hot")
+        ).drop("_k")
         cand = a2.join(
             s2,
             (a2["lookup_name"] == s2["street_name"])

@@ -25,8 +25,19 @@ def load_lines(logdir: str) -> list[str]:
         with open(p, "rb") as f:
             head = f.read(4)
         if head[:4] == b"\x28\xb5\x2f\xfd":
-            out = subprocess.run(["zstd", "-dc", p], capture_output=True)
-            lines += out.stdout.decode(errors="replace").splitlines()
+            import shutil as _sh
+
+            zstd_bin = _sh.which("zstd")
+            if zstd_bin:
+                out = subprocess.run([zstd_bin, "-dc", p], capture_output=True)
+                lines += out.stdout.decode(errors="replace").splitlines()
+            else:
+                # no zstd binary on PATH (e.g. a stripped batch env):
+                # pyarrow ships a zstd streaming decoder
+                import pyarrow as _pa
+
+                with _pa.CompressedInputStream(_pa.OSFile(p, "rb"), "zstd") as st:
+                    lines += st.read().decode(errors="replace").splitlines()
         else:
             lines += open(p, errors="replace").read().splitlines()
     if not lines and os.path.isfile(target):
