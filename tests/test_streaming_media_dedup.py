@@ -298,3 +298,64 @@ def test_stream_osm_native_sources_match_batch(spark, small_world, tmp_path):
 
         # stream-vs-batch row equality over the full drop
         assert norm(sunk) == norm(batch_reader(spark, str(src))), fmt
+
+
+def test_stream_dedup_exact_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup (round 5): one row per
+    digest over the stream's LIFETIME. The second drop contains a dup of a
+    batch-1 digest with a SMALLER doc_id — a stateless per-batch dedup (or
+    a batch-global min) would emit id 0; the stateful operator must keep
+    batch 1's representative (id 1), proving the state store carried the
+    seen-set across the restart."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_spark.streaming.stateful import stream_dedup_exact
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    schema = pa.schema([("doc_id", pa.int64()), ("digest", pa.string()),
+                        ("text", pa.string())])
+
+    def drop(name, rows):
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=schema), str(src / name)
+        )
+
+    drop("a.parquet", [
+        {"doc_id": 1, "digest": "x", "text": "first-x"},
+        {"doc_id": 5, "digest": "y", "text": "first-y"},
+        {"doc_id": 7, "digest": "x", "text": "dup-x-same-batch"},
+    ])
+
+    sschema = "doc_id long, digest string, text string"
+    stream = spark.readStream.schema(sschema).parquet(str(src))
+    deduped = stream_dedup_exact(stream, key_col="digest", order_col="doc_id")
+    assert deduped.isStreaming
+
+    def drain():
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    got1 = {(r["digest"], r["doc_id"]) for r in spark.read.parquet(out).collect()}
+    assert got1 == {("x", 1), ("y", 5)}  # within-batch dup collapsed to min id
+
+    # batch 2: a smaller-id dup of x (must be DROPPED) and a fresh z
+    drop("b.parquet", [
+        {"doc_id": 0, "digest": "x", "text": "dup-x-later-batch"},
+        {"doc_id": 9, "digest": "z", "text": "first-z"},
+    ])
+    drain()
+    got2 = {(r["digest"], r["doc_id"]) for r in spark.read.parquet(out).collect()}
+    assert got2 == {("x", 1), ("y", 5), ("z", 9)}, got2
