@@ -1348,6 +1348,7 @@ def all_queries():
         "geo_nwa_defined": g_nwa_defined,
         "geo_nwa_interpolated": g_nwa_interpolated,
         "geo_interp_errors": g_interp_errors,
+        "dedup_stream_stateful": d_stream_dedup,
     }
     return qs
 
@@ -1400,6 +1401,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "geo_nwa_defined": sql_nwa_defined(fx),
         "geo_nwa_interpolated": sql_nwa_interpolated(fx),
         "geo_interp_errors": sql_interp_errors(fx),
+        "dedup_stream_stateful": SQL_STREAM_DEDUP,
     }
 
 
@@ -2300,4 +2302,48 @@ SELECT CAST(way_id AS VARCHAR) AS way_id, typ AS typename,
        err AS error
 FROM calc3
 WHERE err IS NOT NULL AND err != ''
+"""
+
+
+def d_stream_dedup(spark, sf_dir):
+    """Stateful streaming exact dedup (streaming/stateful.py
+    stream_dedup_exact, applyInPandasWithState) driven availableNow over
+    the documents table: digest per doc, first-seen (min doc_id)
+    representative. At the driver gate the whole table arrives as one
+    micro-batch, so this row checks the operator's emission semantics
+    against SQL; the cross-batch statefulness (later smaller-id dup
+    dropped across a checkpointed restart) is pinned by
+    tests/test_streaming_media_dedup.py::test_stream_dedup_exact_stateful_across_batches."""
+    import os
+    import tempfile
+
+    from .streaming.stateful import stream_dedup_exact
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.encode("text", "utf-8")).alias("digest")
+    )
+    tmp = tempfile.mkdtemp(prefix="osmi_sdq_")
+    src, out, ck = (os.path.join(tmp, x) for x in ("src", "out", "ck"))
+    d.write.parquet(src)
+    # schema derived from the written file (doc_id's type follows the
+    # fixture: int64 in the testdata tables)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        stream_dedup_exact(stream, key_col="digest", order_col="doc_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "digest", F.col("doc_id").alias("keep_doc")
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc
+FROM documents GROUP BY 1
 """
