@@ -1342,6 +1342,7 @@ def all_queries():
         "ann_ivf": s_ann_ivf,
         "geo_rasterize": g_rasterize,
         "geo_polygonize": g_polygonize,
+        "geo_tile_rollup": g_tile_rollup,
         "geo_connection_line": g_connection_line,
         "geo_no_addr_street": g_no_addr_street,
         "geo_place_not_found": g_place_not_found,
@@ -1395,6 +1396,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "ann_ivf": sql_ann_ivf(),
         "geo_rasterize": sql_rasterize(fx),
         "geo_polygonize": sql_polygonize(fx),
+        "geo_tile_rollup": sql_tile_rollup(fx),
         "geo_connection_line": sql_connection_line(fx),
         "geo_no_addr_street": sql_no_addr_street(fx),
         "geo_place_not_found": sql_place_not_found(fx),
@@ -1421,6 +1423,29 @@ SELECT CAST(floor(lon / 0.05) AS BIGINT) AS cx,
        CAST(floor(lat / 0.05) AS BIGINT) AS cy,
        COUNT(*) AS n
 FROM nd GROUP BY 1, 2"""
+
+
+def g_tile_rollup(spark, sf_dir):
+    """Slippy-tile zoom-pyramid rollup (north-rule tiling surface): node
+    counts per z/x/y tile for zooms 6..16 — tiled ONCE at z16, coarser
+    levels rolled up hierarchically (functions/tiles.py), vs the oracle's
+    direct per-zoom assignment (bit-identical: floor commutes with >>)."""
+    from .functions.tiles import tile_pyramid
+
+    d = parsed(spark, sf_dir)
+    return tile_pyramid(d["nodes"], zmin=6, zmax=16)
+
+
+def sql_tile_rollup(fx):
+    per_zoom = "\nUNION ALL\n".join(
+        f"""SELECT {z} AS zoom,
+  GREATEST(0, LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {float(1 << z)}) AS BIGINT), {(1 << z) - 1})) AS xt,
+  GREATEST(0, LEAST(CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI()) / 2.0 * {float(1 << z)}) AS BIGINT), {(1 << z) - 1})) AS yt,
+  COUNT(*) AS n
+FROM nd GROUP BY 1, 2, 3"""
+        for z in range(6, 17)
+    )
+    return _fx_prefix(fx) + per_zoom
 
 
 def g_polygonize(spark, sf_dir):

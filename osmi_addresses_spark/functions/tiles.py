@@ -1,0 +1,90 @@
+"""Slippy-map (web-mercator z/x/y) tile assignment and zoom-pyramid rollup
+— the tiling half of the north rule's "spatial-join + tiling engine".
+
+The reference serves its layers through MapServer WMS tiles
+(/root/reference/mapserver/addresses.map); this module gives the analytic
+counterpart: per-tile feature counts at a range of zoom levels, the input
+to any tile-pyramid renderer or density heatmap.
+
+Scale shape: points are tiled ONCE at the finest zoom (one hash
+aggregation, map-side combined — shuffle bytes proportional to the
+DISTINCT tile count, not the point count), and every coarser level is
+produced by rolling the previous aggregate up (x >> 1, y >> 1) — the OLAP
+cube rollup pattern. The naive per-zoom re-tiling would re-scan and
+re-shuffle the full 100 TB point set once per level; the pyramid touches
+it once and then works on tile-count-sized inputs (log-depth, each ¼ the
+size of the last).
+
+Exactness: for t >= 0, floor(t / 2^k) == floor(t) >> k, so the rolled-up
+tile index at zoom z-k is bit-identical to direct assignment at z-k (the
+DuckDB oracle computes each level directly from the points; clamping to
+[0, 2^z - 1] commutes with the shift for the same reason).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
+    """OSM slippy tile (xt, yt) at `zoom` for WGS84 lon/lat, clamped to
+    the valid [0, 2^zoom - 1] range (poles / antimeridian edges)."""
+    n = F.lit(float(1 << zoom))
+    lat_r = F.radians(lat)
+    xt = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
+    yt = F.floor(
+        (
+            F.lit(1.0)
+            - F.log(F.tan(lat_r) + F.lit(1.0) / F.cos(lat_r)) / F.lit(math.pi)
+        )
+        / F.lit(2.0)
+        * n
+    )
+    hi = F.lit((1 << zoom) - 1)
+
+    def clamp(c: Column) -> Column:
+        return F.greatest(F.lit(0).cast("long"), F.least(c.cast("long"), hi))
+
+    return clamp(xt), clamp(yt)
+
+
+def tile_pyramid(
+    points: DataFrame,
+    zmin: int,
+    zmax: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """→ (zoom, xt, yt, n): per-tile point counts for every zoom level in
+    [zmin, zmax], built hierarchically (tile once at zmax, then roll up)."""
+    if not 0 <= zmin <= zmax:
+        raise ValueError(f"bad zoom range [{zmin}, {zmax}]")
+    xt, yt = tile_xy(F.col(lon_col), F.col(lat_col), zmax)
+    lvl = (
+        points.select(xt.alias("xt"), yt.alias("yt"))
+        .groupBy("xt", "yt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    levels = [lvl.withColumn("zoom", F.lit(zmax))]
+    for z in range(zmax - 1, zmin - 1, -1):
+        lvl = (
+            lvl.select(
+                F.shiftright("xt", 1).alias("xt"),
+                F.shiftright("yt", 1).alias("yt"),
+                "n",
+            )
+            .groupBy("xt", "yt")
+            .agg(F.sum("n").alias("n"))
+        )
+        levels.append(lvl.withColumn("zoom", F.lit(z)))
+    out = reduce(DataFrame.unionByName, levels)
+    return out.select(
+        F.col("zoom").cast("int").alias("zoom"),
+        "xt",
+        "yt",
+        F.col("n").cast("long").alias("n"),
+    )

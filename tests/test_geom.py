@@ -143,3 +143,38 @@ def test_segment_dist_precomputed_bitwise_equal(spark):
 
     for r in out:
         assert st.pack("<d", r["a"]) == st.pack("<d", r["b"])
+
+
+def test_tile_pyramid_rollup_equals_direct(spark):
+    """The hierarchical rollup (tile once at zmax, then x>>1/y>>1 sums) is
+    bit-identical to direct per-zoom assignment, including clamped edge
+    cases at the poles/antimeridian."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osmi_addresses_spark.functions.tiles import tile_pyramid, tile_xy
+
+    rng = random.Random(7)
+    pts = [(rng.uniform(-180, 180), rng.uniform(-89.9, 89.9)) for _ in range(400)]
+    pts += [(-180.0, 0.0), (180.0, 0.0), (0.0, 89.9), (0.0, -89.9), (179.999, 85.1)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+
+    pyr = {
+        (r["zoom"], r["xt"], r["yt"]): r["n"]
+        for r in tile_pyramid(df, zmin=3, zmax=9).collect()
+    }
+    for z in (3, 5, 9):
+        xt, yt = tile_xy(F.col("lon"), F.col("lat"), z)
+        direct = {
+            (z, r["xt"], r["yt"]): r["n"]
+            for r in df.select(xt.alias("xt"), yt.alias("yt"))
+            .groupBy("xt", "yt")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        assert {k: v for k, v in pyr.items() if k[0] == z} == direct, z
+    # every level conserves the point mass
+    for z in range(3, 10):
+        assert sum(v for k, v in pyr.items() if k[0] == z) == len(pts), z
