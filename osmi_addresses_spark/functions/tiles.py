@@ -8,12 +8,15 @@ to any tile-pyramid renderer or density heatmap.
 
 Scale shape: points are tiled ONCE at the finest zoom (one hash
 aggregation, map-side combined — shuffle bytes proportional to the
-DISTINCT tile count, not the point count), and every coarser level is
-produced by rolling the previous aggregate up (x >> 1, y >> 1) — the OLAP
-cube rollup pattern. The naive per-zoom re-tiling would re-scan and
-re-shuffle the full 100 TB point set once per level; the pyramid touches
-it once and then works on tile-count-sized inputs (log-depth, each ¼ the
-size of the last).
+DISTINCT tile count, not the point count), then every base tile row is
+exploded into its ancestor tiles (one row per zoom level, xt >> k) and
+re-aggregated — the OLAP cube rollup pattern as a SINGLE plan with two
+shuffles, the second over tile-count-sized input. The naive per-zoom
+re-tiling re-scans and re-shuffles the full 100 TB point set once per
+level, and a union-of-rolled-up-levels plan silently does the same
+(each union branch's lineage recomputes the base aggregation unless it
+is persisted); the ancestor-explode form computes the base exactly once
+with no cache dependency.
 
 Exactness: for t >= 0, floor(t / 2^k) == floor(t) >> k, so the rolled-up
 tile index at zoom z-k is bit-identical to direct assignment at z-k (the
@@ -24,7 +27,6 @@ DuckDB oracle computes each level directly from the points; clamping to
 from __future__ import annotations
 
 import math
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -60,31 +62,33 @@ def tile_pyramid(
     lat_col: str = "lat",
 ) -> DataFrame:
     """→ (zoom, xt, yt, n): per-tile point counts for every zoom level in
-    [zmin, zmax], built hierarchically (tile once at zmax, then roll up)."""
+    [zmin, zmax], built as one plan: tile at zmax, explode each base tile
+    into its [zmin, zmax] ancestors (xt >> (zmax - zoom)), re-aggregate."""
     if not 0 <= zmin <= zmax:
         raise ValueError(f"bad zoom range [{zmin}, {zmax}]")
     xt, yt = tile_xy(F.col(lon_col), F.col(lat_col), zmax)
-    lvl = (
+    base = (
         points.select(xt.alias("xt"), yt.alias("yt"))
         .groupBy("xt", "yt")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    levels = [lvl.withColumn("zoom", F.lit(zmax))]
-    for z in range(zmax - 1, zmin - 1, -1):
-        lvl = (
-            lvl.select(
-                F.shiftright("xt", 1).alias("xt"),
-                F.shiftright("yt", 1).alias("yt"),
-                "n",
-            )
-            .groupBy("xt", "yt")
-            .agg(F.sum("n").alias("n"))
+    return (
+        base.select(
+            F.explode(F.sequence(F.lit(zmin), F.lit(zmax))).alias("zoom"),
+            "xt",
+            "yt",
+            "n",
         )
-        levels.append(lvl.withColumn("zoom", F.lit(z)))
-    out = reduce(DataFrame.unionByName, levels)
-    return out.select(
-        F.col("zoom").cast("int").alias("zoom"),
-        "xt",
-        "yt",
-        F.col("n").cast("long").alias("n"),
+        .groupBy(
+            "zoom",
+            F.expr(f"shiftright(xt, {zmax} - zoom)").alias("xt"),
+            F.expr(f"shiftright(yt, {zmax} - zoom)").alias("yt"),
+        )
+        .agg(F.sum("n").alias("n"))
+        .select(
+            F.col("zoom").cast("int").alias("zoom"),
+            "xt",
+            "yt",
+            F.col("n").cast("long").alias("n"),
+        )
     )
