@@ -8,6 +8,7 @@ Usage (cluster):
         --output <warehouse dir> [--layers nodes_with_addresses,...] \
         [--format parquet|osm-xml|osm-pbf] \  # default: inferred from path
         [--spatialite <dir>]  # also export reference-contract .sqlite files
+        [--spatialite-shards N]  # distributed export: N shards/layer + merge
 
 The job is resumable: re-running with the same --output skips every table
 whose manifest lineage still matches (io/table.py); per-partition metrics
@@ -37,6 +38,15 @@ def main(argv=None):
         default=None,
         help="directory to export the reference's SpatiaLite .sqlite files "
         "(one per layer, MapServer/QGIS drop-in) in addition to the parquet tables",
+    )
+    ap.add_argument(
+        "--spatialite-shards",
+        type=int,
+        default=None,
+        metavar="N",
+        help="with --spatialite: write N SpatiaLite shards per layer "
+        "executor-side and ATTACH-merge them into the single-file contract "
+        "(the driver never streams rows; use for large layers)",
     )
     ap.add_argument(
         "--warm",
@@ -86,13 +96,32 @@ def main(argv=None):
     paths = write_layers(layers, store, layer_names=names)
     out = {"written": paths}
     if args.spatialite:
-        from osmi_addresses_spark.io.spatialite import export_layer
         from osmi_addresses_spark.schemas import LAYER_FIELDS
 
-        out["spatialite"] = {
-            n: export_layer(layers[n], n, args.spatialite)
-            for n in (names or list(LAYER_FIELDS))
-        }
+        export_names = names or list(LAYER_FIELDS)
+        if args.spatialite_shards:
+            from osmi_addresses_spark.io.spatialite import (
+                export_layer_sharded,
+                merge_sqlite_shards,
+            )
+
+            out["spatialite"] = {
+                n: merge_sqlite_shards(
+                    export_layer_sharded(
+                        layers[n], n, args.spatialite, shards=args.spatialite_shards
+                    ),
+                    n,
+                    args.spatialite,
+                )
+                for n in export_names
+            }
+        else:
+            from osmi_addresses_spark.io.spatialite import export_layer
+
+            out["spatialite"] = {
+                n: export_layer(layers[n], n, args.spatialite)
+                for n in export_names
+            }
     print(json.dumps(out))
 
 

@@ -72,3 +72,30 @@ def test_submit_main_from_pbf(tmp_path, spark, small_world):
     assert n_sl == total
     ents_manifest = json.load(open(f"{out}/entities.manifest.json"))
     assert ents_manifest["lineage"]["source"] == pbf
+
+
+def test_submit_main_spatialite_sharded(tmp_path, spark, small_world):
+    """--spatialite-shards N: executors write N shards per layer, the
+    driver ATTACH-merges them into the same single-file contract."""
+    import os
+    import sqlite3
+
+    import submit_job
+    from osmi_addresses_spark.sources.osm_pbf import write_osm_pbf
+
+    pbf = write_osm_pbf(
+        str(tmp_path / "world.osm.pbf"), small_world.nodes, small_world.ways
+    )
+    out = str(tmp_path / "wh_sharded")
+    sl_dir = str(tmp_path / "spatialite_sharded")
+    submit_job.main(
+        ["--input", pbf, "--output", out, "--layers", "entrances",
+         "--spatialite", sl_dir, "--spatialite-shards", "3"]
+    )
+    shard_dir = f"{sl_dir}/osmi_addresses_entrances"
+    assert len([f for f in os.listdir(shard_dir) if f.endswith(".sqlite")]) == 3
+    con = sqlite3.connect(f"{sl_dir}/osmi_addresses_entrances.sqlite")
+    n_sl = con.execute("SELECT COUNT(*) FROM osmi_addresses_entrances").fetchone()[0]
+    con.close()
+    manifest = json.load(open(f"{out}/layer_entrances.manifest.json"))
+    assert n_sl == sum(p["rows"] for p in manifest["partitions"].values()) > 0
