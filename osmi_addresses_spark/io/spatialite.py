@@ -388,6 +388,8 @@ def merge_sqlite_shards(shard_paths: list[str], name: str, out_dir: str) -> str:
     contract. Rows and R*Tree entries are copied inside sqlite (no blob
     re-encode, no Python row loop); shard fids are contiguous from 1, so
     the R*Tree pkids re-base by the running row count."""
+    if not shard_paths:
+        raise ValueError("merge_sqlite_shards: empty shard list")
     table = f"osmi_addresses_{name}"
     path = os.path.join(out_dir, f"{table}.sqlite")
     if os.path.exists(path):
