@@ -1344,6 +1344,7 @@ def all_queries():
         "geo_polygonize": g_polygonize,
         "geo_tile_rollup": g_tile_rollup,
         "geo_connection_line": g_connection_line,
+        "geo_connection_length": g_connection_length,
         "geo_no_addr_street": g_no_addr_street,
         "geo_place_not_found": g_place_not_found,
         "geo_nwa_defined": g_nwa_defined,
@@ -1398,6 +1399,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "geo_polygonize": sql_polygonize(fx),
         "geo_tile_rollup": sql_tile_rollup(fx),
         "geo_connection_line": sql_connection_line(fx),
+        "geo_connection_length": sql_connection_length(fx),
         "geo_no_addr_street": sql_no_addr_street(fx),
         "geo_place_not_found": sql_place_not_found(fx),
         "geo_nwa_defined": sql_nwa_defined(fx),
@@ -1840,17 +1842,21 @@ def g_connection_line(spark, sf_dir):
     )
 
 
-def sql_connection_line(fx):
+_MERC_R = "6378137.0"
+
+
+def _foot_point_ctes(fx):
     """DuckDB mirror of geom_np.refine_foot_points_batch over the argmin
     winners: same mercator projection (R=6378137), first-minimal closest
     vertex (squared distance — monotonic to the engine's hypot), clamped
     projection on the ≤2 adjacent segments with the degenerate-segment →
     b-endpoint rule, left segment taken unconditionally, right only when
-    strictly closer."""
-    R = "6378137.0"
+    strictly closer. Ends at `best` (node wgs coords nlon/nlat + mercator
+    foot bx/by); callers append their final SELECT."""
+    R = _MERC_R
     return _street_winner_ctes(fx) + f"""
 , proj AS (
-  SELECT v.node_id, v.way_id,
+  SELECT v.node_id, v.way_id, v.lon AS nlon, v.lat AS nlat,
     {R} * radians(v.lon) AS px,
     {R} * ln(tan(pi()/4 + radians(v.lat)/2)) AS py,
     list_transform(c.coords, q -> {R} * radians(q.lon)) AS xs,
@@ -1862,7 +1868,7 @@ def sql_connection_line(fx):
               z -> (z[1]-px)*(z[1]-px) + (z[2]-py)*(z[2]-py)) AS d2
     FROM proj)
 ), seg AS (
-  SELECT node_id, way_id, px, py, xs[ci] AS cx, ys[ci] AS cy,
+  SELECT node_id, way_id, nlon, nlat, px, py, xs[ci] AS cx, ys[ci] AS cy,
     ci > 1 AS has_prev, ci < n AS has_next,
     xs[CASE WHEN ci > 1 THEN ci-1 ELSE ci END] AS lbx,
     ys[CASE WHEN ci > 1 THEN ci-1 ELSE ci END] AS lby,
@@ -1893,7 +1899,7 @@ def sql_connection_line(fx):
     CASE WHEN has_prev THEN lfy ELSE cy END AS by0
   FROM feet
 ), best AS (
-  SELECT node_id, way_id,
+  SELECT node_id, way_id, nlon, nlat,
     CASE WHEN has_next AND (px-rfx)*(px-rfx)+(py-rfy)*(py-rfy)
                          < (px-bx0)*(px-bx0)+(py-by0)*(py-by0)
          THEN rfx ELSE bx0 END AS bx,
@@ -1901,11 +1907,64 @@ def sql_connection_line(fx):
                          < (px-bx0)*(px-bx0)+(py-by0)*(py-by0)
          THEN rfy ELSE by0 END AS by
   FROM pick
-)
+)"""
+
+
+def sql_connection_line(fx):
+    R = _MERC_R
+    return _foot_point_ctes(fx) + f"""
 SELECT CAST(node_id AS VARCHAR) AS node_id, CAST(way_id AS VARCHAR) AS way_id,
        round(degrees(bx/{R}), 6) AS foot_lon,
        round(degrees(2*atan(exp(by/{R})) - pi()/2), 6) AS foot_lat
 FROM best
+"""
+
+
+def g_connection_length(spark, sf_dir):
+    """Metric QA surface on the flagship: haversine length (meters, 3 dp)
+    of each connection line — node → adjacent-segment foot point — as a
+    pure Column expression (functions/geom_sql.haversine_m; the reference
+    ranks candidates in degree space, osmi/ConnectionLinePreprocessor.hpp,
+    and this is the vectorized metric refine on the winners)."""
+    d = parsed(spark, sf_dir)
+    n = d["nodes"].filter(F.col("tags")["addr:street"].isNotNull()).select(
+        L.akey_node(F.col("node_id")).alias("akey"),
+        F.lit("node").alias("obj_type"),
+        F.col("node_id").alias("obj_id"),
+        F.col("tags")["addr:street"].alias("lookup_name"),
+        "lon", "lat",
+        F.lit(0).alias("phase"),
+        F.col("node_id").alias("ord1"),
+        F.lit(0).cast("long").alias("ord2"),
+    )
+    m = match_streets(n, d["streets"])
+    return m.select(
+        G.fmt_id(F.col("obj_id")).alias("node_id"),
+        G.fmt_id(F.col("way_id")).alias("way_id"),
+        F.round(
+            G.haversine_m(
+                F.col("lon"), F.col("lat"), F.col("foot_lon"), F.col("foot_lat")
+            ),
+            3,
+        ).alias("len_m"),
+    )
+
+
+def sql_connection_length(fx):
+    R = _MERC_R
+    return _foot_point_ctes(fx) + f"""
+, wgs AS (
+  SELECT node_id, way_id, nlon, nlat,
+         degrees(bx/{R}) AS flon,
+         degrees(2*atan(exp(by/{R})) - pi()/2) AS flat
+  FROM best
+)
+SELECT CAST(node_id AS VARCHAR) AS node_id, CAST(way_id AS VARCHAR) AS way_id,
+       round(2.0 * 6371008.8 * asin(sqrt(
+         pow(sin(radians(flat - nlat)/2), 2)
+         + cos(radians(nlat)) * cos(radians(flat))
+           * pow(sin(radians(flon - nlon)/2), 2))), 3) AS len_m
+FROM wgs
 """
 
 

@@ -178,6 +178,19 @@ def point_dist(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column
     return F.sqrt((lon1 - lon2) * (lon1 - lon2) + (lat1 - lat2) * (lat1 - lat2))
 
 
+MEAN_EARTH_R_M = 6371008.8  # IUGG mean Earth radius
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in meters, pure Column expression (whole-stage
+    codegen — the vectorized metric refine; the reference ranks in degree
+    space, this is the metric QA surface on top of it)."""
+    h = F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2) + F.cos(
+        F.radians(lat1)
+    ) * F.cos(F.radians(lat2)) * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
+    return F.lit(2.0 * MEAN_EARTH_R_M) * F.asin(F.sqrt(h))
+
+
 # ------------------------------------------------------------- bbox of way
 def bbox_struct(coords: Column) -> Column:
     """min/max fold over vertices (osmi/GeometryHelper.hpp:71-94)."""
