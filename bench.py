@@ -126,6 +126,17 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
         counts["ann_topk"] = timed_min(
             "ann_topk", lambda: s_ann_topk(spark, sf_dir).count()
         )
+        # tiling surface: zoom-pyramid rollup over the validated address
+        # points (reads the checkpointed layer, so this times the rollup
+        # plan itself — one base agg + one tile-count-sized agg)
+        from osmi_addresses_spark.functions.tiles import tile_pyramid
+
+        nwa_pts = layers["nodes_with_addresses"].select(
+            F.col("geom.lon").alias("lon"), F.col("geom.lat").alias("lat")
+        )
+        counts["tile_rollup_tiles"] = timed_min(
+            "tile_rollup", lambda: tile_pyramid(nwa_pts, 6, 16).count()
+        )
 
     n_validated = counts["nodes_with_addresses"]
     result = {
