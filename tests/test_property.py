@@ -9,6 +9,7 @@
    — it is THE correctness precondition of the join strategy.
 """
 
+import math
 import os
 import sys
 
@@ -136,3 +137,84 @@ def test_covering_superset_of_reference_bbox_predicate(spark):
     n_accepted = cases.filter(accepted).count()
     assert n_accepted > 1000, "fixture should exercise the accepted region"
     assert violations == 0, f"{violations} accepted points missed by the covering"
+
+
+# -- tiles + haversine fuzz vs pure-python references ----------------------
+def _py_tile(lon, lat, z):
+    n = float(1 << z)
+    xc = (lon + 180.0) / 360.0 * n
+    lr = math.radians(lat)
+    yc = (1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr)) / math.pi) / 2.0 * n
+    hi = (1 << z) - 1
+
+    def clamp(v):
+        return max(0, min(int(math.floor(v)), hi))
+
+    return clamp(xc), clamp(yc), xc, yc
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+            st.floats(min_value=-89.9, max_value=89.9, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_tile_xy_fuzz_vs_python(spark, pts):
+    """Spark tile_xy == the pure-python slippy formula on arbitrary coords.
+    JVM and libm transcendentals may differ in the last ulp, so a point
+    whose CONTINUOUS tile coordinate sits within 1e-9 of an integer is
+    allowed to land one tile off; everywhere else the match is exact."""
+    from osmi_addresses_spark.functions.tiles import tile_xy
+
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    for z in (2, 11):
+        xt, yt = tile_xy(F.col("lon"), F.col("lat"), z)
+        got = df.select("lon", "lat", xt.alias("xt"), yt.alias("yt")).collect()
+        for r in got:
+            wx, wy, xc, yc = _py_tile(r["lon"], r["lat"], z)
+            for g, w, c in ((r["xt"], wx, xc), (r["yt"], wy, yc)):
+                if min(c % 1.0, 1.0 - c % 1.0) < 1e-9:
+                    assert abs(g - w) <= 1, (r, z)
+                else:
+                    assert g == w, (r, z)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+            st.floats(min_value=-89.0, max_value=89.0, allow_nan=False),
+            st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+            st.floats(min_value=-89.0, max_value=89.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_haversine_fuzz_vs_python(spark, quads):
+    """haversine_m (Column expr) matches the same formula in python math to
+    1e-9 relative (plus 1e-6 m absolute for near-zero distances)."""
+    from osmi_addresses_spark.functions.geom_sql import MEAN_EARTH_R_M, haversine_m
+
+    df = spark.createDataFrame(quads, "a double, b double, c double, d double")
+    got = df.select(
+        "a", "b", "c", "d",
+        haversine_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m"),
+    ).collect()
+    for r in got:
+        h = (
+            math.sin(math.radians(r["d"] - r["b"]) / 2) ** 2
+            + math.cos(math.radians(r["b"]))
+            * math.cos(math.radians(r["d"]))
+            * math.sin(math.radians(r["c"] - r["a"]) / 2) ** 2
+        )
+        want = 2.0 * MEAN_EARTH_R_M * math.asin(math.sqrt(min(1.0, h)))
+        assert abs(r["m"] - want) <= 1e-6 + 1e-9 * want, r
