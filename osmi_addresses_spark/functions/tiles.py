@@ -54,6 +54,21 @@ def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
     return clamp(xt), clamp(yt)
 
 
+def tile_bounds(zoom: int, x: int, y: int) -> tuple[float, float, float, float]:
+    """(west, south, east, north) WGS84 extent of slippy tile zoom/x/y —
+    the inverse of `tile_xy` (a point tiles into the tile whose bounds
+    contain it; shared edges belong to both neighbours under the
+    inclusive-bbox window-read semantics)."""
+    if not (0 <= x < (1 << zoom) and 0 <= y < (1 << zoom)):
+        raise ValueError(f"tile {x}/{y} out of range at zoom {zoom}")
+    n = float(1 << zoom)
+    west = x / n * 360.0 - 180.0
+    east = (x + 1) / n * 360.0 - 180.0
+    north = math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * y / n))))
+    south = math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * (y + 1) / n))))
+    return west, south, east, north
+
+
 def tile_pyramid(
     points: DataFrame,
     zmin: int,

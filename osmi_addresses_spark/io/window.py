@@ -143,3 +143,15 @@ def read_layer_polygon(
         pip_expr(ring_col, F.col("geom.lon"), F.col("geom.lat"))
     )
     return out.drop("_bbox_w", "_bbox_e", "_bbox_s", "_bbox_n")
+
+
+def read_layer_tile(
+    spark: SparkSession, store, layer: str, zoom: int, x: int, y: int
+) -> DataFrame:
+    """Read one written layer restricted to slippy tile zoom/x/y — the
+    tile-server read path (the reference's MapServer WMS issues exactly
+    these windows per tile): tile extent → pushed-down bbox window read,
+    so the scan prunes to the row groups overlapping the tile."""
+    from ..functions.tiles import tile_bounds
+
+    return read_layer_bbox(spark, store, layer, tile_bounds(zoom, x, y))

@@ -257,3 +257,47 @@ def test_polygon_window_read(spark, tmp_path):
     store.write("layer_lines", lines)
     with pytest.raises(NotImplementedError, match="POINT"):
         read_layer_polygon(spark, store, "lines", tri)
+
+
+def test_tile_window_read(spark, tmp_path):
+    """read_layer_tile == bbox read of the tile's extent, and every point
+    the pyramid assigns to tile (z,x,y) is inside tile_bounds(z,x,y)."""
+    from osmi_addresses_spark.functions.tiles import tile_bounds, tile_xy
+    from osmi_addresses_spark.io.window import read_layer_tile
+
+    store = TableStore(str(tmp_path / "store"))
+    df = _point_layer(spark, n=20_000)
+    store.write(
+        "layer_pts",
+        df.withColumn("_cell", cell_of(F.col("geom.lon"), F.col("geom.lat")))
+        .repartition(4)
+        .sortWithinPartitions("_cell")
+        .drop("_cell"),
+    )
+
+    z = 6
+    # the tile containing (10.5, 0.5): direct from the assignment columns
+    xt, yt = tile_xy(F.lit(10.5), F.lit(0.5), z)
+    tx, ty = spark.range(1).select(xt, yt).collect()[0]
+    w, s, e, n = tile_bounds(z, tx, ty)
+    assert w <= 10.5 <= e and s <= 0.5 <= n
+
+    got = {r["node_id"] for r in read_layer_tile(spark, store, "pts", z, tx, ty).collect()}
+    want = {
+        r["node_id"]
+        for r in df.filter(
+            (F.col("geom.lon") >= w) & (F.col("geom.lon") <= e)
+            & (F.col("geom.lat") >= s) & (F.col("geom.lat") <= n)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # assignment ↔ bounds round trip on a sample of layer points
+    both = df.select(
+        "geom.lon", "geom.lat",
+        tile_xy(F.col("geom.lon"), F.col("geom.lat"), z)[0].alias("xt"),
+        tile_xy(F.col("geom.lon"), F.col("geom.lat"), z)[1].alias("yt"),
+    ).limit(500).collect()
+    for r in both:
+        bw, bs, be, bn = tile_bounds(z, r["xt"], r["yt"])
+        assert bw <= r["lon"] <= be and bs <= r["lat"] <= bn
