@@ -360,15 +360,22 @@ def export_layer_sharded(
                     cur.execute("COMMIT")
                     fid += len(chunk)
             con.close()
+            # publish via attempt-unique temp + rename so a speculative or
+            # retried attempt never interleaves writes into the final name
+            # (rename is atomic on local/HDFS; on object stores the final
+            # single-object copy is already atomic)
+            tc = TaskContext.get()
             wfs, wdir = _fs_and_path(shard_dir)
+            tmp_name = f"{wdir}/.{shard}.attempt-{tc.taskAttemptId()}"
             with open(tmp.name, "rb") as src, wfs.open_output_stream(
-                f"{wdir}/{shard}"
+                tmp_name
             ) as dst:
                 while True:
                     b = src.read(1 << 22)
                     if not b:
                         break
                     dst.write(b)
+            wfs.move(tmp_name, f"{wdir}/{shard}")
         finally:
             if os.path.exists(tmp.name):
                 os.remove(tmp.name)
