@@ -188,7 +188,9 @@ def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colum
     h = F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2) + F.cos(
         F.radians(lat1)
     ) * F.cos(F.radians(lat2)) * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
-    return F.lit(2.0 * MEAN_EARTH_R_M) * F.asin(F.sqrt(h))
+    # near-antipodal pairs can round h to 1 + 2.2e-16; unclamped that makes
+    # sqrt(h) > 1 and asin return NaN
+    return F.lit(2.0 * MEAN_EARTH_R_M) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
 
 
 # ------------------------------------------------------------- bbox of way

@@ -34,7 +34,9 @@ from pyspark.sql import functions as F
 
 def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
     """OSM slippy tile (xt, yt) at `zoom` for WGS84 lon/lat, clamped to
-    the valid [0, 2^zoom - 1] range (poles / antimeridian edges)."""
+    the valid [0, 2^zoom - 1] range (poles / antimeridian edges). A null
+    coordinate yields a null tile index (F.least/F.greatest skip nulls,
+    so a bare clamp would silently map null rows to tile 2^zoom - 1)."""
     n = F.lit(float(1 << zoom))
     lat_r = F.radians(lat)
     xt = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
@@ -47,9 +49,11 @@ def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
         * n
     )
     hi = F.lit((1 << zoom) - 1)
+    has_null = lon.isNull() | lat.isNull()
 
     def clamp(c: Column) -> Column:
-        return F.greatest(F.lit(0).cast("long"), F.least(c.cast("long"), hi))
+        cc = F.greatest(F.lit(0).cast("long"), F.least(c.cast("long"), hi))
+        return F.when(has_null, F.lit(None).cast("long")).otherwise(cc)
 
     return clamp(xt), clamp(yt)
 
@@ -83,7 +87,8 @@ def tile_pyramid(
         raise ValueError(f"bad zoom range [{zmin}, {zmax}]")
     xt, yt = tile_xy(F.col(lon_col), F.col(lat_col), zmax)
     base = (
-        points.select(xt.alias("xt"), yt.alias("yt"))
+        points.filter(F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull())
+        .select(xt.alias("xt"), yt.alias("yt"))
         .groupBy("xt", "yt")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -390,13 +390,48 @@ def export_layer_sharded(
     ]
 
 
+def _localize_shard(path: str, tmp_dir: str) -> str:
+    """sqlite can only open local files; a shard that lives behind a
+    pyarrow.fs URI (s3://, hdfs://, …) is downloaded to tmp_dir first.
+    Plain paths are returned as-is (they must be driver-readable — i.e. a
+    shared filesystem on a multi-node cluster; use a URI otherwise)."""
+    if "://" not in path:
+        return path
+    fs, fs_path = _fs_and_path(path)
+    local = os.path.join(tmp_dir, os.path.basename(fs_path))
+    with fs.open_input_stream(fs_path) as src, open(local, "wb") as dst:
+        while True:
+            b = src.read(1 << 22)
+            if not b:
+                break
+            dst.write(b)
+    return local
+
+
 def merge_sqlite_shards(shard_paths: list[str], name: str, out_dir: str) -> str:
     """ATTACH-merge executor-written shards into the single-file reference
     contract. Rows and R*Tree entries are copied inside sqlite (no blob
     re-encode, no Python row loop); shard fids are contiguous from 1, so
-    the R*Tree pkids re-base by the running row count."""
+    the R*Tree pkids re-base by the running row count. URI shard paths
+    (object store / HDFS) are streamed to a local temp dir first — sqlite
+    cannot ATTACH a remote object."""
+    import shutil
+    import tempfile
+
     if not shard_paths:
         raise ValueError("merge_sqlite_shards: empty shard list")
+    tmp_dir = None
+    if any("://" in p for p in shard_paths):
+        tmp_dir = tempfile.mkdtemp(prefix="osmi_shard_merge_")
+        shard_paths = [_localize_shard(p, tmp_dir) for p in shard_paths]
+    try:
+        return _merge_local_shards(shard_paths, name, out_dir)
+    finally:
+        if tmp_dir:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def _merge_local_shards(shard_paths: list[str], name: str, out_dir: str) -> str:
     table = f"osmi_addresses_{name}"
     path = os.path.join(out_dir, f"{table}.sqlite")
     if os.path.exists(path):

@@ -56,6 +56,8 @@ def main(argv=None):
         "planet run amortizes it either way)",
     )
     args = ap.parse_args(argv)
+    if args.spatialite_shards and not args.spatialite:
+        ap.error("--spatialite-shards requires --spatialite <dir>")
 
     from pyspark.sql import SparkSession
 

@@ -178,3 +178,23 @@ def test_tile_pyramid_rollup_equals_direct(spark):
     # every level conserves the point mass
     for z in range(3, 10):
         assert sum(v for k, v in pyr.items() if k[0] == z) == len(pts), z
+
+
+def test_tile_xy_null_coords_yield_null(spark):
+    """A null coordinate must produce a null tile index (not 2^z-1, which
+    least/greatest null-skipping would silently give), and tile_pyramid
+    must exclude null-coordinate rows entirely."""
+    from pyspark.sql import functions as F
+
+    from osmi_addresses_spark.functions.tiles import tile_pyramid, tile_xy
+
+    df = spark.createDataFrame(
+        [(1, 8.5, 47.0), (2, None, 47.0), (3, 8.5, None)],
+        "id int, lon double, lat double",
+    )
+    xt, yt = tile_xy(F.col("lon"), F.col("lat"), 10)
+    rows = {r["id"]: (r["x"], r["y"]) for r in df.select("id", xt.alias("x"), yt.alias("y")).collect()}
+    assert rows[1][0] is not None and rows[1][1] is not None
+    assert rows[2] == (None, None) and rows[3] == (None, None)
+    pyr = tile_pyramid(df, 5, 6).collect()
+    assert sum(r["n"] for r in pyr if r["zoom"] == 5) == 1

@@ -348,3 +348,24 @@ def test_sharded_export_matches_single(testzone_layers, exported, tmp_path_facto
         ):
             assert abs(struct.unpack_from("<d", blob, 6)[0] - xmin) < 1e-4
         con.close()
+
+
+def test_sharded_export_uri_roundtrip(testzone_layers, tmp_path_factory):
+    """file:// URIs drive the remote-filesystem path end to end: shards
+    upload through pyarrow.fs and the merge localizes them before ATTACH
+    (sqlite cannot open a URI)."""
+    from osmi_addresses_spark.io.spatialite import (
+        export_layer_sharded,
+        merge_sqlite_shards,
+    )
+
+    out = str(tmp_path_factory.mktemp("sl_uri"))
+    paths = export_layer_sharded(
+        testzone_layers["entrances"], "entrances", f"file://{out}", shards=2
+    )
+    assert len(paths) == 2 and all(p.startswith("file://") for p in paths)
+    merged = merge_sqlite_shards(paths, "entrances", out)
+    con = sqlite3.connect(merged)
+    n = con.execute("SELECT COUNT(*) FROM osmi_addresses_entrances").fetchone()[0]
+    con.close()
+    assert n == GOLDEN_COUNTS["entrances"]
