@@ -34,11 +34,37 @@ def table_names(root: str) -> set[str]:
 
 
 def sqlite_table_names(root: str) -> set[str]:
-    return {
-        f[len("osmi_addresses_"):-len(".sqlite")]
-        for f in os.listdir(root)
-        if f.startswith("osmi_addresses_") and f.endswith(".sqlite")
-    }
+    """Layers present as single exported files OR as sharded directories
+    (io/spatialite.export_layer_sharded writes
+    osmi_addresses_<name>/shard-*.sqlite)."""
+    names = set()
+    for f in os.listdir(root):
+        if not f.startswith("osmi_addresses_"):
+            continue
+        if f.endswith(".sqlite"):
+            names.add(f[len("osmi_addresses_"):-len(".sqlite")])
+        elif os.path.isdir(os.path.join(root, f)) and any(
+            s.endswith(".sqlite") for s in os.listdir(os.path.join(root, f))
+        ):
+            names.add(f[len("osmi_addresses_"):])
+    return names
+
+
+def _layer_sqlite_paths(root: str, name: str) -> list[str]:
+    """All .sqlite files holding a layer: [single file] for the driver-
+    streamed export, the sorted shard list for a sharded one, [] if the
+    layer is absent."""
+    single = os.path.join(root, f"osmi_addresses_{name}.sqlite")
+    if os.path.exists(single):
+        return [single]
+    shard_dir = os.path.join(root, f"osmi_addresses_{name}")
+    if os.path.isdir(shard_dir):
+        return sorted(
+            os.path.join(shard_dir, f)
+            for f in os.listdir(shard_dir)
+            if f.endswith(".sqlite")
+        )
+    return []
 
 
 def dir_kind(root: str) -> str:
@@ -59,23 +85,27 @@ def _read_sqlite_layer(spark, root: str, name: str):
     from osmi_addresses_spark.io.spatialite import decode_blob
 
     table = f"osmi_addresses_{name}"
-    con = sqlite3.connect(os.path.join(root, f"{table}.sqlite"))
-    cols = [
-        r[1]
-        for r in con.execute(f'PRAGMA table_info("{table}")')
-        if r[1] not in ("OGC_FID", "GEOMETRY")
-    ]
-    sel = ", ".join(f'"{c}"' for c in cols) + (", " if cols else "") + "GEOMETRY"
+    paths = _layer_sqlite_paths(root, name)
+    cols = None
     rows = []
-    for r in con.execute(f'SELECT {sel} FROM "{table}"'):
-        blob = r[-1]
-        if blob is None:
-            wkt = None
-        else:
-            kind, pts = decode_blob(blob)
-            wkt = f"{kind}(" + ",".join(f"{x!r} {y!r}" for x, y in pts) + ")"
-        rows.append((*[None if v is None else str(v) for v in r[:-1]], wkt))
-    con.close()
+    for path in paths:  # single file, or every shard of a sharded export
+        con = sqlite3.connect(path)
+        if cols is None:
+            cols = [
+                r[1]
+                for r in con.execute(f'PRAGMA table_info("{table}")')
+                if r[1] not in ("OGC_FID", "GEOMETRY")
+            ]
+        sel = ", ".join(f'"{c}"' for c in cols) + (", " if cols else "") + "GEOMETRY"
+        for r in con.execute(f'SELECT {sel} FROM "{table}"'):
+            blob = r[-1]
+            if blob is None:
+                wkt = None
+            else:
+                kind, pts = decode_blob(blob)
+                wkt = f"{kind}(" + ",".join(f"{x!r} {y!r}" for x, y in pts) + ")"
+            rows.append((*[None if v is None else str(v) for v in r[:-1]], wkt))
+        con.close()
     schema = ", ".join(f"`{c}` string" for c in [*cols, "geometry_wkt"])
     return spark.createDataFrame(rows, schema)
 
@@ -156,8 +186,8 @@ def _diff_sqlite(spark, dir_a: str, dir_b: str, tables=None, sample: int = 3) ->
     report: dict[str, dict] = {}
     for name in sorted(names):
         entry: dict = {"schema_match": True, "only_a": 0, "only_b": 0}
-        in_a = os.path.exists(os.path.join(dir_a, f"osmi_addresses_{name}.sqlite"))
-        in_b = os.path.exists(os.path.join(dir_b, f"osmi_addresses_{name}.sqlite"))
+        in_a = bool(_layer_sqlite_paths(dir_a, name))
+        in_b = bool(_layer_sqlite_paths(dir_b, name))
         if not in_a and not in_b:
             # Explicitly-requested table present in neither export: report it
             # instead of opening a nonexistent path (sqlite3.connect would
