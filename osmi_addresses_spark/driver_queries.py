@@ -369,6 +369,52 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_event_sessionize(spark, sf_dir):
+    """Sessionization via Spark's built-in session_window (30-min
+    inactivity gap; the same operator runs stateful in Structured
+    Streaming). The oracle is the classic gaps-and-islands form: lag +
+    cumulative sum of new-session flags. Spark session windows are
+    [start, end) with end = last_ts + gap, so a successor event exactly
+    30 min after its predecessor starts a NEW session — the oracle flags
+    new sessions with >= on the microsecond delta."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_val"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_val")
+    )
+
+
+SQL_EVENT_SESSIONIZE = """
+WITH x AS (
+  SELECT user_id, ts, value, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, us
+             ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM x
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_val
+FROM s GROUP BY user_id, sess_idx
+"""
+
+
 # ==========================================================================
 # family 2 — geospatial engine queries over the OSM-document fixture
 # (both sides read the committed fixture parquet; Spark runs the engine,
@@ -1183,6 +1229,43 @@ FROM g
 """
 
 
+def t_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary stats: top-5 tokens per language by document
+    frequency (distinct-per-doc whitespace tokens, lowercased; ties →
+    lexicographically smallest token). The rank is a per-language window
+    over the (lang, tok) aggregate — the shuffle is vocabulary-sized, not
+    corpus-sized, and the explode feeds a map-side-combined count."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " +"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.col("df").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "tok", "df")
+    )
+
+
+SQL_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT lang, UNNEST(list_distinct(string_split_regex(lower(text), ' +'))) AS tok
+  FROM documents
+), c AS (
+  SELECT lang, tok, COUNT(*) AS df FROM toks WHERE tok != '' GROUP BY 1, 2
+)
+SELECT lang, rank, tok, df FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY df DESC, tok ASC) AS rank
+  FROM c
+) WHERE rank <= 5
+"""
+
+
 def t_fingerprint(spark, sf_dir):
     """Polynomial rolling-hash fingerprint of the first 64 chars
     (mod 999999937 so both engines stay in exact int64 range)."""
@@ -1314,6 +1397,7 @@ def all_queries():
         "distinct_extract": q_distinct_extract,
         "window_topk": q_window_topk,
         "event_window_agg": q_event_window_agg,
+        "event_sessionize": q_event_sessionize,
         "geo_entity_counts": g_entity_counts,
         "geo_entrances": g_entrances,
         "geo_bbox_window": g_bbox_window,
@@ -1333,6 +1417,7 @@ def all_queries():
         "text_quality": t_quality,
         "text_lang_id": t_lang_id,
         "text_fingerprint": t_fingerprint,
+        "text_vocab_topk": t_vocab_topk,
         "media_refs": m_media_refs,
         "media_phash_dedup": m_phash_dedup,
         "geo_pip_assign": g_pip_assign,
@@ -1369,6 +1454,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "distinct_extract": SQL_DISTINCT_EXTRACT,
         "window_topk": SQL_WINDOW_TOPK,
         "event_window_agg": SQL_EVENT_WINDOW_AGG,
+        "event_sessionize": SQL_EVENT_SESSIONIZE,
         "geo_entity_counts": sql_entity_counts(fx),
         "geo_entrances": sql_entrances(fx),
         "geo_bbox_window": sql_bbox_window(fx),
@@ -1389,6 +1475,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "text_quality": SQL_QUALITY,
         "text_lang_id": SQL_LANG_ID,
         "text_fingerprint": SQL_FINGERPRINT,
+        "text_vocab_topk": SQL_VOCAB_TOPK,
         "media_refs": sql_media_refs(fx),
         "media_phash_dedup": sql_phash_dedup(fx),
         "geo_pip_assign": sql_pip_assign(fx),
