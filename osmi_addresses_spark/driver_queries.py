@@ -347,6 +347,41 @@ SELECT o_custkey, o_orderkey, rank FROM (
 """
 
 
+def q_groupby_rollup(spark, sf_dir):
+    """OLAP ROLLUP over (priority, status): subtotal + grand-total rows
+    with null indicators, ANSI semantics in both engines. The money sum is
+    carried as cents (exact int64) so the rollup levels are fp-order-free."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("total_cents")
+    )
+
+
+SQL_GROUPBY_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+def q_exceptall_diff(spark, sf_dir):
+    """Multiset difference (exceptAll) — the regression-diff primitive
+    (tools/diff_layers.py) as a gated relational query."""
+    l = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_linenumber"]
+    a = l.filter(F.col("l_quantity") >= 10).select(*cols)
+    b = l.filter(F.col("l_returnflag") == "R").select(*cols)
+    return a.exceptAll(b)
+
+
+SQL_EXCEPTALL_DIFF = """
+SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem WHERE l_quantity >= 10
+EXCEPT ALL
+SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
 def q_event_window_agg(spark, sf_dir):
     """Tumbling-window aggregation (batch mirror of the streaming op)."""
     e = _t(spark, sf_dir, "events")
@@ -1188,6 +1223,36 @@ FROM documents
 """
 
 
+def t_length_quantiles(spark, sf_dir):
+    """Per-language document length distribution: exact interpolated
+    p50/p90/p99 of the whitespace token count (t_quality's definition).
+    Spark `percentile` and DuckDB `quantile_cont` share percentile_cont
+    semantics; values rounded 6 dp. One vocabulary-free aggregation —
+    shuffle is language-count-sized after map-side partials."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile(toks, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(toks, F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(toks, F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+SQL_LENGTH_QUANTILES = r"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(quantile_cont(n, 0.5), 6) AS p50,
+       ROUND(quantile_cont(n, 0.9), 6) AS p90,
+       ROUND(quantile_cont(n, 0.99), 6) AS p99
+FROM t GROUP BY lang
+"""
+
+
 _LANG_MARKERS = {"en": " the ", "de": " und ", "fr": " les ", "es": " que ", "zh": "的"}
 
 
@@ -1398,6 +1463,8 @@ def all_queries():
         "window_topk": q_window_topk,
         "event_window_agg": q_event_window_agg,
         "event_sessionize": q_event_sessionize,
+        "groupby_rollup": q_groupby_rollup,
+        "exceptall_diff": q_exceptall_diff,
         "geo_entity_counts": g_entity_counts,
         "geo_entrances": g_entrances,
         "geo_bbox_window": g_bbox_window,
@@ -1418,6 +1485,7 @@ def all_queries():
         "text_lang_id": t_lang_id,
         "text_fingerprint": t_fingerprint,
         "text_vocab_topk": t_vocab_topk,
+        "text_length_quantiles": t_length_quantiles,
         "media_refs": m_media_refs,
         "media_phash_dedup": m_phash_dedup,
         "geo_pip_assign": g_pip_assign,
@@ -1455,6 +1523,8 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "window_topk": SQL_WINDOW_TOPK,
         "event_window_agg": SQL_EVENT_WINDOW_AGG,
         "event_sessionize": SQL_EVENT_SESSIONIZE,
+        "groupby_rollup": SQL_GROUPBY_ROLLUP,
+        "exceptall_diff": SQL_EXCEPTALL_DIFF,
         "geo_entity_counts": sql_entity_counts(fx),
         "geo_entrances": sql_entrances(fx),
         "geo_bbox_window": sql_bbox_window(fx),
@@ -1476,6 +1546,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "text_lang_id": SQL_LANG_ID,
         "text_fingerprint": SQL_FINGERPRINT,
         "text_vocab_topk": SQL_VOCAB_TOPK,
+        "text_length_quantiles": SQL_LENGTH_QUANTILES,
         "media_refs": sql_media_refs(fx),
         "media_phash_dedup": sql_phash_dedup(fx),
         "geo_pip_assign": sql_pip_assign(fx),
