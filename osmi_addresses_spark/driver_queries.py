@@ -1308,9 +1308,22 @@ def t_vocab_topk(spark, sf_dir):
         ).alias("tok"),
     ).filter(F.col("tok") != "")
     counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("lang").orderBy(F.col("df").desc(), F.col("tok").asc())
+    # two-phase top-k: a single window partitioned by lang would sort each
+    # language's WHOLE vocabulary in one task (5 tasks total at any scale).
+    # Tokens are complete within their hash bucket after the count, so
+    # per-(lang, bucket) top-5 → global top-5 over <= 5*64 candidates is
+    # exactly equal and sorts in parallel.
+    bucketed = counts.withColumn("b", F.pmod(F.xxhash64("tok"), F.lit(64)))
+    order = (F.col("df").desc(), F.col("tok").asc())
+    wb = Window.partitionBy("lang", "b").orderBy(*order)
+    cand = (
+        bucketed.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= 5)
+        .drop("b", "r")
+    )
+    w = Window.partitionBy("lang").orderBy(*order)
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("lang", "rank", "tok", "df")
     )
