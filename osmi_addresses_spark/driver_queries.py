@@ -1459,6 +1459,70 @@ GROUP BY 1
 """
 
 
+def m_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing for multimodal media (brief: decode /
+    resize / frame-sample): each media_ref is a deterministic synthetic
+    "video" of 1..8 frames (count from the first md5 byte of the ref);
+    every 2nd frame is sampled and perceptual-hashed, all as Column
+    expressions — the per-frame seed feeds the same md5-chain codec as
+    media_phash_col, and a real decoder plugs in behind
+    operators/codecs.file_codec exactly as for stills. Scale shape: the
+    explode factor is the bounded frame count, and everything stays in
+    whole-stage codegen."""
+    from .operators.media import media_phash_col, media_spans
+
+    d = parsed(spark, sf_dir)
+    refs = media_spans(d["entities"]).select("media_ref").distinct()
+    n_frames = F.lit(1) + F.pmod(
+        F.conv(F.substring(F.md5("media_ref"), 1, 2), 16, 10).cast("int"),
+        F.lit(8),
+    )
+    fr = refs.select(
+        "media_ref",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).filter(F.pmod("frame_idx", F.lit(2)) == 0)
+    seed = F.concat(
+        F.col("media_ref"), F.lit("#"), F.col("frame_idx").cast("string")
+    )
+    return fr.select(
+        "media_ref", "frame_idx", media_phash_col(seed).alias("frame_phash")
+    )
+
+
+def sql_frame_sample(fx):
+    return f"""
+WITH sp AS (
+  SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{_docs_glob(fx)}')
+), refs AS (
+  SELECT DISTINCT s.media_ref FROM sp WHERE s.kind = 'media'
+), fr AS (
+  SELECT media_ref, CAST(j AS INTEGER) AS frame_idx,
+         media_ref || '#' || CAST(j AS VARCHAR) AS seed
+  FROM refs, range(8) r(j)
+  WHERE j < 1 + (CAST('0x' || substr(md5(media_ref), 1, 2) AS INT) % 8)
+    AND j % 2 = 0
+), chain AS (
+  SELECT media_ref, frame_idx,
+         md5(seed) || md5(md5(seed)) || md5(md5(md5(seed)))
+           || md5(md5(md5(md5(seed)))) AS hexbuf
+  FROM fr
+), px AS (
+  SELECT media_ref, frame_idx, j,
+         CAST('0x' || substr(hexbuf, CAST(j * 2 + 1 AS INT), 2) AS INT) AS p
+  FROM chain, range(64) r(j)
+), tot AS (
+  SELECT media_ref, frame_idx, SUM(p) AS total FROM px GROUP BY 1, 2
+), ph AS (
+  SELECT px.media_ref, px.frame_idx,
+         string_agg(CASE WHEN p * 64 > total THEN '1' ELSE '0' END,
+                    '' ORDER BY j) AS frame_phash
+  FROM px JOIN tot USING (media_ref, frame_idx)
+  GROUP BY 1, 2
+)
+SELECT media_ref, frame_idx, frame_phash FROM ph
+"""
+
+
 # ==========================================================================
 # registry
 # ==========================================================================
@@ -1501,6 +1565,7 @@ def all_queries():
         "text_length_quantiles": t_length_quantiles,
         "media_refs": m_media_refs,
         "media_phash_dedup": m_phash_dedup,
+        "media_frame_sample": m_frame_sample,
         "geo_pip_assign": g_pip_assign,
         "geo_street_not_found": g_street_not_found,
         "dedup_simhash": d_simhash,
@@ -1562,6 +1627,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "text_length_quantiles": SQL_LENGTH_QUANTILES,
         "media_refs": sql_media_refs(fx),
         "media_phash_dedup": sql_phash_dedup(fx),
+        "media_frame_sample": sql_frame_sample(fx),
         "geo_pip_assign": sql_pip_assign(fx),
         "geo_street_not_found": sql_street_not_found(fx),
         "dedup_embedding_cosine": sql_embedding_near_dup(sf_dir),
