@@ -369,3 +369,35 @@ def test_sharded_export_uri_roundtrip(testzone_layers, tmp_path_factory):
     n = con.execute("SELECT COUNT(*) FROM osmi_addresses_entrances").fetchone()[0]
     con.close()
     assert n == GOLDEN_COUNTS["entrances"]
+
+
+def test_sharded_export_empty_layer(spark, tmp_path):
+    """An empty layer (buildings is empty by construction) still produces
+    valid shard files and a valid zero-row merged contract file."""
+    from pyspark.sql import functions as F
+
+    from osmi_addresses_spark.io.spatialite import (
+        export_layer_sharded,
+        merge_sqlite_shards,
+    )
+
+    empty = spark.createDataFrame(
+        [], "node_id string, lastchange string, entrance string"
+    ).withColumn(
+        "geom",
+        F.when(
+            F.lit(False),
+            F.struct(F.lit(0.0).alias("lon"), F.lit(0.0).alias("lat")),
+        ),
+    )
+    paths = export_layer_sharded(empty, "entrances", str(tmp_path), shards=2)
+    assert len(paths) == 2
+    merged = merge_sqlite_shards(paths, "entrances", str(tmp_path))
+    con = sqlite3.connect(merged)
+    assert con.execute(
+        "SELECT COUNT(*) FROM osmi_addresses_entrances"
+    ).fetchone()[0] == 0
+    assert con.execute(
+        "SELECT COUNT(*) FROM geometry_columns"
+    ).fetchone()[0] == 1
+    con.close()
