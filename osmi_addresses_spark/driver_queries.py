@@ -450,6 +450,77 @@ FROM s GROUP BY user_id, sess_idx
 """
 
 
+def q_event_asof_join(spark, sf_dir):
+    """As-of join (Spark has no native ASOF): for every 'click' event, the
+    most recent 'view' by the same user at or before the click, ties on ts
+    broken by largest event_id. Implemented as the scalable sort-merge
+    form — union both sides, ONE hash exchange on user_id, one in-partition
+    sort by (ts, side, event_id), then `last(..., ignorenulls)` over the
+    unbounded-preceding frame carries the latest right row forward. No
+    range-predicate join (which Spark would plan as a broadcast/cartesian
+    nested loop and explode at scale), no per-left-row subquery; cost is
+    the same as one window aggregation. Right rows sort BEFORE left rows
+    at equal ts (is_l ascending), which is exactly the inclusive <=
+    semantics. Clicks with no prior view keep NULL view columns."""
+    e = _t(spark, sf_dir, "events")
+    l = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("l_id"),
+        F.lit(1).alias("is_l"),
+        F.lit(None).cast("long").alias("r_id"),
+        F.lit(None).cast("timestamp_ntz").alias("r_ts"),
+    )
+    r = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("l_id"),
+        F.lit(0).alias("is_l"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(), F.col("is_l").asc(), F.col("r_id").asc_nulls_first()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.last(
+        F.when(F.col("is_l") == 0, F.struct("r_ts", "r_id")), ignorenulls=True
+    ).over(w)
+    return (
+        u.withColumn("_m", m)
+        .filter(F.col("is_l") == 1)
+        .select(
+            F.col("l_id").alias("click_id"),
+            "user_id",
+            # -1 sentinel for match-less clicks: keeps both engines' output
+            # columns integral (nullable BIGINT → float64 through pandas
+            # would make the driver's value hash type-unstable)
+            F.coalesce(F.col("_m.r_id"), F.lit(-1).cast("long")).alias("view_id"),
+            # exact integer microseconds (no float rounding to disagree on)
+            F.coalesce(
+                F.expr("timestampdiff(MICROSECOND, _m.r_ts, ts)"),
+                F.lit(-1).cast("long"),
+            ).alias("lag_us"),
+        )
+    )
+
+
+SQL_EVENT_ASOF_JOIN = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT click_id, user_id, COALESCE(view_id, -1) AS view_id,
+       COALESCE(lag_us, -1) AS lag_us FROM (
+  SELECT l.event_id AS click_id, l.user_id, r.event_id AS view_id,
+         epoch_us(l.ts) - epoch_us(r.ts) AS lag_us,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts
+) WHERE rn = 1
+"""
+
+
 # ==========================================================================
 # family 2 — geospatial engine queries over the OSM-document fixture
 # (both sides read the committed fixture parquet; Spark runs the engine,
@@ -761,11 +832,11 @@ def _seg_dist_sql(px: str, py: str) -> str:
     )
 
 
-def _street_winner_ctes(fx):
-    """Shared CTE chain ending in `win` (node_id, lon, lat, way_id, is_area):
-    the J3-J5 candidate join + GEOS segment-distance argmin with area-first
-    strict-< tie-break, in SQL (OGRLineString::Distance is segment-aware —
-    see geom_sql.min_segment_dist).
+def _street_cand_ctes(fx):
+    """CTE chain ending in `cand` (node_id, lon, lat, way_id, is_area,
+    dist): the J3-J4 candidate join + GEOS segment distance, in SQL
+    (OGRLineString::Distance is segment-aware — see
+    geom_sql.min_segment_dist).
 
     The bbox prefilter uses the int16-quantized edges in double math (the
     float32 rounding of the engine is ~1e-7 — fixture margins are >1e-4).
@@ -800,7 +871,15 @@ def _street_winner_ctes(fx):
   WHERE a.lat < h.dn + 0.01 AND a.lat > h.ds - 0.01
     AND a.lon < h.de + 0.01/cos(radians(a.lat))
     AND a.lon > h.dw - 0.01/cos(radians(a.lat))
-), win AS (
+)
+"""
+
+
+def _street_winner_ctes(fx):
+    """`cand` + the J5 argmin with area-first strict-< tie-break → `win`
+    (node_id, lon, lat, way_id, is_area)."""
+    return _street_cand_ctes(fx) + """
+, win AS (
   SELECT node_id, lon, lat, way_id, is_area
   FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY node_id
@@ -816,6 +895,80 @@ def sql_nearest_street(fx):
 SELECT CAST(node_id AS VARCHAR) AS node_id, CAST(way_id AS VARCHAR) AS way_id,
        CAST(is_area AS INT) AS is_area
 FROM win
+"""
+
+
+def g_knn_streets(spark, sf_dir):
+    """Top-k (k=3) nearest matching streets per addr node — the general-k
+    kNN surface next to the reference's k=1 argmin (J5,
+    osmi/ConnectionLinePreprocessor.hpp:163-236 keeps only the minimum).
+    Candidate generation is the flagship's: (name, cell) equi-join +
+    quantized bbox±tol prefilter (G11/G12) + JVM segment-distance fold; the
+    ranking is a row_number window over (dist, ¬area, way_id) — the same
+    total order J5 folds with min_by. At scale the window is one hash
+    exchange on node_id with a per-group sort whose group size is the
+    per-address candidate count (bounded by the street-name frequency in
+    one covering cell), and a production run would ride match_streets'
+    salted candidate generator; k=1 stays on the cheaper map-side-combined
+    min_by. No duplicate candidates by construction: the index is one row
+    per (way, DISTINCT name value) × covering cell and an addr point joins
+    exactly its own cell."""
+    from .functions.cells import cell_of
+
+    d = parsed(spark, sf_dir)
+    n = d["nodes"].filter(F.col("tags")["addr:street"].isNotNull()).select(
+        F.col("node_id"),
+        F.col("tags")["addr:street"].alias("lookup_name"),
+        "lon", "lat",
+        cell_of(F.col("lon"), F.col("lat")).alias("cell"),
+    )
+    s = d["streets"].select(
+        "street_name", "cell", "way_id", "is_area",
+        "bbox_n", "bbox_e", "bbox_s", "bbox_w", "segs",
+    )
+    from . import MAXDIST
+
+    cand = (
+        n.join(
+            s,
+            (n["lookup_name"] == s["street_name"]) & (n["cell"] == s["cell"]),
+        )
+        .filter(
+            G.is_point_near_bbox(
+                F.col("bbox_n"), F.col("bbox_e"), F.col("bbox_s"),
+                F.col("bbox_w"), F.col("lon"), F.col("lat"), MAXDIST,
+            )
+        )
+        .withColumn(
+            "dist",
+            G.min_segment_dist_pre(F.col("segs"), F.col("lon"), F.col("lat")),
+        )
+    )
+    w = Window.partitionBy("node_id").orderBy(
+        F.col("dist").asc(), F.col("is_area").desc(), F.col("way_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            G.fmt_id(F.col("node_id")).alias("node_id"),
+            F.col("rank"),
+            G.fmt_id(F.col("way_id")).alias("way_id"),
+            F.col("is_area").cast("int").alias("is_area"),
+        )
+    )
+
+
+def sql_knn_streets(fx):
+    return _street_cand_ctes(fx) + """
+SELECT CAST(node_id AS VARCHAR) AS node_id, CAST(rn AS INT) AS rank,
+       CAST(way_id AS VARCHAR) AS way_id, CAST(is_area AS INT) AS is_area
+FROM (
+  SELECT node_id, way_id, is_area,
+         ROW_NUMBER() OVER (PARTITION BY node_id
+                            ORDER BY dist ASC, is_area DESC, way_id ASC) AS rn
+  FROM cand
+) WHERE rn <= 3
 """
 
 
@@ -1223,6 +1376,62 @@ FROM documents
 """
 
 
+# GPT-2-style pre-tokenizer pattern: contraction suffixes, space-prefixed
+# letter runs, digit runs, symbol runs, whitespace runs. The whitespace
+# class is written explicitly ([ \t\n\r\f]) because Java regex (Spark) and
+# RE2 (DuckDB) disagree on \s (\x0B); everything else in the pattern is
+# engine-portable, and both engines use leftmost-first alternation.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+"
+
+
+def t_token_bpe(spark, sf_dir):
+    """BPE-ish regex token counting — the brief's second tokenizer next to
+    t_quality's whitespace split. Entirely JVM-side (regexp_extract_all +
+    higher-order array filters; no UDF), shuffle-free: one narrow
+    projection over the documents scan, so it scales as a pure map stage."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
+    nonws = F.filter(toks, lambda t: ~t.rlike(r"^[ \t\n\r\f]+$"))
+    n_tok = F.size(nonws).cast("long")
+    n_word = F.size(
+        F.filter(nonws, lambda t: t.rlike(r"^ ?[A-Za-z]+$"))
+    ).cast("long")
+    n_num = F.size(
+        F.filter(nonws, lambda t: t.rlike(r"^ ?[0-9]+$"))
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_word.alias("n_word"),
+        n_num.alias("n_num"),
+        (n_tok - n_word - n_num).alias("n_other"),
+        F.when(n_tok > 0, F.round(F.length("text") / n_tok, 6)).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+SQL_TOKEN_BPE = r"""
+WITH t AS (
+  SELECT doc_id, length(text) AS nchars,
+    list_filter(
+      regexp_extract_all(text,
+        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+'),
+      x -> NOT regexp_matches(x, '^[ \t\n\r\f]+$')) AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, nchars, len(toks) AS n_tokens,
+    len(list_filter(toks, x -> regexp_matches(x, '^ ?[A-Za-z]+$'))) AS n_word,
+    len(list_filter(toks, x -> regexp_matches(x, '^ ?[0-9]+$'))) AS n_num
+  FROM t
+)
+SELECT doc_id, n_tokens, n_word, n_num,
+  n_tokens - n_word - n_num AS n_other,
+  CASE WHEN n_tokens > 0 THEN ROUND(nchars / n_tokens, 6) END AS chars_per_token
+FROM c
+"""
+
+
 def t_length_quantiles(spark, sf_dir):
     """Per-language document length distribution: exact interpolated
     p50/p90/p99 of the whitespace token count (t_quality's definition).
@@ -1540,6 +1749,7 @@ def all_queries():
         "window_topk": q_window_topk,
         "event_window_agg": q_event_window_agg,
         "event_sessionize": q_event_sessionize,
+        "event_asof_join": q_event_asof_join,
         "groupby_rollup": q_groupby_rollup,
         "exceptall_diff": q_exceptall_diff,
         "geo_entity_counts": g_entity_counts,
@@ -1551,6 +1761,7 @@ def all_queries():
         "geo_nwa_nodes": g_nwa_nodes,
         "geo_interpolation": g_interpolation,
         "geo_nearest_street": g_nearest_street,
+        "geo_knn_streets": g_knn_streets,
         "geo_nearest_place": g_nearest_place,
         "geo_interp_points": g_interp_points,
         "dedup_exact": d_exact_dedup,
@@ -1563,6 +1774,7 @@ def all_queries():
         "text_fingerprint": t_fingerprint,
         "text_vocab_topk": t_vocab_topk,
         "text_length_quantiles": t_length_quantiles,
+        "text_token_bpe": t_token_bpe,
         "media_refs": m_media_refs,
         "media_phash_dedup": m_phash_dedup,
         "media_frame_sample": m_frame_sample,
@@ -1601,6 +1813,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "window_topk": SQL_WINDOW_TOPK,
         "event_window_agg": SQL_EVENT_WINDOW_AGG,
         "event_sessionize": SQL_EVENT_SESSIONIZE,
+        "event_asof_join": SQL_EVENT_ASOF_JOIN,
         "groupby_rollup": SQL_GROUPBY_ROLLUP,
         "exceptall_diff": SQL_EXCEPTALL_DIFF,
         "geo_entity_counts": sql_entity_counts(fx),
@@ -1612,6 +1825,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "geo_nwa_nodes": sql_nwa_nodes(fx),
         "geo_interpolation": sql_interpolation(fx),
         "geo_nearest_street": sql_nearest_street(fx),
+        "geo_knn_streets": sql_knn_streets(fx),
         "geo_nearest_place": sql_nearest_place(fx),
         "geo_interp_points": sql_interp_points(fx),
         "dedup_exact": SQL_EXACT_DEDUP,
@@ -1625,6 +1839,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "text_fingerprint": SQL_FINGERPRINT,
         "text_vocab_topk": SQL_VOCAB_TOPK,
         "text_length_quantiles": SQL_LENGTH_QUANTILES,
+        "text_token_bpe": SQL_TOKEN_BPE,
         "media_refs": sql_media_refs(fx),
         "media_phash_dedup": sql_phash_dedup(fx),
         "media_frame_sample": sql_frame_sample(fx),

@@ -218,3 +218,42 @@ def test_haversine_fuzz_vs_python(spark, quads):
         )
         want = 2.0 * MEAN_EARTH_R_M * math.asin(math.sqrt(min(1.0, h)))
         assert abs(r["m"] - want) <= 1e-6 + 1e-9 * want, r
+
+
+# -- BPE-ish tokenizer: Java-regex (Spark) vs RE2 (DuckDB) agreement --------
+# The pattern is written with an explicit whitespace class precisely so the
+# two engines tokenize identically; this fuzzes that claim on adversarial
+# text (contractions, digit/symbol runs, accented latin, CJK, and \x0b —
+# the code point where Java's \s and RE2's \s disagree).
+_bpe_text = st.lists(
+    st.sampled_from(
+        list("abzAZ09 \t\n\r\f\x0b.,;:!?'-_éß的和🙂") + ["'s", "'ll", "don't"]
+    ),
+    max_size=40,
+).map("".join)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_bpe_text, min_size=1, max_size=25))
+def test_bpe_tokenizer_spark_matches_duckdb(spark, texts):
+    import duckdb
+
+    from osmi_addresses_spark.driver_queries import _BPE_PAT
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
+    nonws = F.filter(toks, lambda t: ~t.rlike(r"^[ \t\n\r\f]+$"))
+    got = {r["id"]: r["toks"]
+           for r in df.select("id", nonws.alias("toks")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(texts)])
+    want = dict(con.execute(r"""
+        SELECT id, list_filter(
+          regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+'),
+          x -> NOT regexp_matches(x, '^[ \t\n\r\f]+$')) FROM t""").fetchall())
+    assert got == want
