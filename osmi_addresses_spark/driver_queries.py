@@ -912,38 +912,18 @@ def g_knn_streets(spark, sf_dir):
     salted candidate generator; k=1 stays on the cheaper map-side-combined
     min_by. No duplicate candidates by construction: the index is one row
     per (way, DISTINCT name value) × covering cell and an addr point joins
-    exactly its own cell."""
-    from .functions.cells import cell_of
+    exactly its own cell. Candidate generation is shared with the flagship
+    (operators.nearest_street.street_candidates), mirroring the SQL side's
+    shared _street_cand_ctes — the two queries cannot drift."""
+    from .operators.nearest_street import street_candidates
 
     d = parsed(spark, sf_dir)
     n = d["nodes"].filter(F.col("tags")["addr:street"].isNotNull()).select(
         F.col("node_id"),
         F.col("tags")["addr:street"].alias("lookup_name"),
         "lon", "lat",
-        cell_of(F.col("lon"), F.col("lat")).alias("cell"),
     )
-    s = d["streets"].select(
-        "street_name", "cell", "way_id", "is_area",
-        "bbox_n", "bbox_e", "bbox_s", "bbox_w", "segs",
-    )
-    from . import MAXDIST
-
-    cand = (
-        n.join(
-            s,
-            (n["lookup_name"] == s["street_name"]) & (n["cell"] == s["cell"]),
-        )
-        .filter(
-            G.is_point_near_bbox(
-                F.col("bbox_n"), F.col("bbox_e"), F.col("bbox_s"),
-                F.col("bbox_w"), F.col("lon"), F.col("lat"), MAXDIST,
-            )
-        )
-        .withColumn(
-            "dist",
-            G.min_segment_dist_pre(F.col("segs"), F.col("lon"), F.col("lat")),
-        )
-    )
+    cand = street_candidates(n, d["streets"])
     w = Window.partitionBy("node_id").orderBy(
         F.col("dist").asc(), F.col("is_area").desc(), F.col("way_id").asc()
     )
@@ -1382,6 +1362,9 @@ FROM documents
 # RE2 (DuckDB) disagree on \s (\x0B); everything else in the pattern is
 # engine-portable, and both engines use leftmost-first alternation.
 _BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+"
+# the same pattern as a DuckDB SQL string literal — derived, not hand-copied,
+# so the two engines can never drift
+_BPE_PAT_SQL = "'" + _BPE_PAT.replace("'", "''") + "'"
 
 
 def t_token_bpe(spark, sf_dir):
@@ -1415,8 +1398,7 @@ SQL_TOKEN_BPE = r"""
 WITH t AS (
   SELECT doc_id, length(text) AS nchars,
     list_filter(
-      regexp_extract_all(text,
-        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+'),
+      regexp_extract_all(text, """ + _BPE_PAT_SQL + r"""),
       x -> NOT regexp_matches(x, '^[ \t\n\r\f]+$')) AS toks
   FROM documents
 ), c AS (

@@ -41,6 +41,63 @@ from ..functions.geom_np import refine_foot_points_batch
 #   phase, ord1, ord2   reference scan order (nodes→ways; id; within-way step)
 
 
+def _street_join_side(streets: DataFrame) -> DataFrame:
+    """The slim street-side projection the candidate join carries: join
+    keys, ids, the quantized bbox edges, and precomputed segments — no full
+    coordinate arrays (winner geometry is re-joined by way_id later)."""
+    return streets.select(
+        F.col("street_name"),
+        F.col("cell"),
+        F.col("way_id"),
+        F.col("is_area"),
+        F.col("bbox_n"),
+        F.col("bbox_e"),
+        F.col("bbox_s"),
+        F.col("bbox_w"),
+        F.col("segs"),
+        F.col("lastchange").alias("way_lastchange"),
+    )
+
+
+def _with_candidate_dist(cand: DataFrame) -> DataFrame:
+    """J4 bbox±tol prefilter + G6 segment distance over candidate rows.
+
+    dist is computed inside the join stage (codegen) and the geometry
+    payload (bbox edges, segments) is dropped right here: the downstream
+    aggregation moves only ids through its hash maps. Payload width matters
+    doubly — partial min_by state lives in the agg hash map per group, and
+    wide payloads (the full candidate row incl. the linestring) made the
+    partial-agg stage GC-bound (measured 557 s GC in an 877 s stage at
+    sf10/32 cores).
+    """
+    cand = cand.filter(
+        G.is_point_near_bbox(
+            F.col("bbox_n"), F.col("bbox_e"), F.col("bbox_s"), F.col("bbox_w"),
+            F.col("lon"), F.col("lat"), MAXDIST,
+        )
+    )
+    return cand.withColumn(
+        "dist", G.min_segment_dist_pre(F.col("segs"), F.col("lon"), F.col("lat"))
+    ).drop("bbox_n", "bbox_e", "bbox_s", "bbox_w", "segs")
+
+
+def street_candidates(addr: DataFrame, streets: DataFrame) -> DataFrame:
+    """The flagship's candidate stage as a standalone operator: plain
+    (name, cell) equi-join + bbox±tol prefilter + segment distance, one row
+    per surviving (addr, way) candidate with `dist`. This is the shared
+    front half for general-k consumers (e.g. the top-k street kNN query);
+    match_streets layers hot-key salting over the same building blocks and
+    folds the k=1 argmin. ``addr`` needs (lookup_name, lon, lat, ...);
+    output = addr cols + way_id, is_area, way_lastchange, dist.
+    """
+    a = addr.withColumn("cell", cell_of(F.col("lon"), F.col("lat")))
+    s = _street_join_side(streets)
+    cand = a.join(
+        s, (a["lookup_name"] == s["street_name"]) & (a["cell"] == s["cell"])
+    ).drop("street_name", "cell")
+    return _with_candidate_dist(cand)
+
+
 def match_streets(
     addr: DataFrame,
     streets: DataFrame,
@@ -82,18 +139,7 @@ def match_streets(
     detection entirely.
     """
     a = addr.withColumn("cell", cell_of(F.col("lon"), F.col("lat")))
-    s = streets.select(
-        F.col("street_name"),
-        F.col("cell"),
-        F.col("way_id"),
-        F.col("is_area"),
-        F.col("bbox_n"),
-        F.col("bbox_e"),
-        F.col("bbox_s"),
-        F.col("bbox_w"),
-        F.col("segs"),
-        F.col("lastchange").alias("way_lastchange"),
-    )
+    s = _street_join_side(streets)
     join_on = (a["lookup_name"] == s["street_name"]) & (a["cell"] == s["cell"])
     hot = []
     if skew_threshold:
@@ -208,21 +254,7 @@ def match_streets(
         ).drop("street_name", "cell", "_salt")
     else:
         cand = a.join(s, join_on, "inner").drop("street_name", "cell")
-    cand = cand.filter(
-        G.is_point_near_bbox(
-            F.col("bbox_n"), F.col("bbox_e"), F.col("bbox_s"), F.col("bbox_w"),
-            F.col("lon"), F.col("lat"), MAXDIST,
-        )
-    )
-    # dist is computed inside the join stage (codegen) and way_coords never
-    # leaves it: the aggregation below moves only ids through its hash maps.
-    # Payload width matters doubly here — partial min_by state lives in the
-    # agg hash map per group, and wide payloads (the full candidate row incl.
-    # the linestring) made the partial-agg stage GC-bound (measured 557 s GC
-    # in an 877 s stage at sf10/32 cores).
-    cand = cand.withColumn(
-        "dist", G.min_segment_dist_pre(F.col("segs"), F.col("lon"), F.col("lat"))
-    ).drop("bbox_n", "bbox_e", "bbox_s", "bbox_w", "segs")
+    cand = _with_candidate_dist(cand)
     # strict-'<' scan order: closer wins; ties → area side (scanned first),
     # then insertion (way id) order. min_by over a total-order struct is a
     # hash aggregate (partial+final, map-side combine, no sort) — same

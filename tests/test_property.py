@@ -239,7 +239,7 @@ _bpe_text = st.lists(
 def test_bpe_tokenizer_spark_matches_duckdb(spark, texts):
     import duckdb
 
-    from osmi_addresses_spark.driver_queries import _BPE_PAT
+    from osmi_addresses_spark.driver_queries import _BPE_PAT, _BPE_PAT_SQL
 
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                "id long, text string")
@@ -251,9 +251,10 @@ def test_bpe_tokenizer_spark_matches_duckdb(spark, texts):
     con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?, ?)",
                     [(i, t) for i, t in enumerate(texts)])
+    # the SQL-side pattern is the SHIPPED oracle literal, derived from
+    # _BPE_PAT in driver_queries — one source of truth for both engines
     want = dict(con.execute(r"""
         SELECT id, list_filter(
-          regexp_extract_all(text,
-            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+'),
+          regexp_extract_all(text, """ + _BPE_PAT_SQL + r"""),
           x -> NOT regexp_matches(x, '^[ \t\n\r\f]+$')) FROM t""").fetchall())
     assert got == want
