@@ -1776,6 +1776,7 @@ def all_queries():
         "geo_nwa_interpolated": g_nwa_interpolated,
         "geo_interp_errors": g_interp_errors,
         "dedup_stream_stateful": d_stream_dedup,
+        "event_stream_interval_join": q_stream_interval_join,
     }
     return qs
 
@@ -1840,6 +1841,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "geo_nwa_interpolated": sql_nwa_interpolated(fx),
         "geo_interp_errors": sql_interp_errors(fx),
         "dedup_stream_stateful": SQL_STREAM_DEDUP,
+        "event_stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
     }
 
 
@@ -2859,4 +2861,63 @@ def d_stream_dedup(spark, sf_dir):
 SQL_STREAM_DEDUP = """
 SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc
 FROM documents GROUP BY 1
+"""
+
+
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (streaming/ingest.stream_interval_join)
+    driven availableNow over the events table: every (click, view) pair of
+    the same user with the view at most 1 hour before the click, via two
+    watermarked file-source streams over the same parquet. Inner-join
+    emission is exact regardless of micro-batch timing; the cross-batch
+    state behavior (a view landing in an earlier batch joining a click
+    from a later one) is pinned by
+    tests/test_streaming_media_dedup.py::test_stream_interval_join_across_batches."""
+    import os
+    import tempfile
+
+    from .streaming.ingest import stream_interval_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    tmp = tempfile.mkdtemp(prefix="osmi_sij_")
+    src, out, ck = (os.path.join(tmp, x) for x in ("src", "out", "ck"))
+    e.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    clicks = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "click")
+    )
+    views = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "view")
+    )
+    # pin UTC for the run: the fixture's NTZ wall clocks become instants via
+    # the session tz inside the operator, and the DuckDB oracle computes
+    # pure wall-clock arithmetic — identical only when no DST offset can
+    # sneak into the cast
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        q = (
+            stream_interval_join(clicks, views, horizon="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    return spark.read.parquet(out)
+
+
+SQL_STREAM_INTERVAL_JOIN = """
+SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+FROM events c JOIN events v
+  ON v.user_id = c.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
 """

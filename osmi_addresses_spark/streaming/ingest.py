@@ -50,6 +50,52 @@ def stream_events(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
 
 
+def stream_interval_join(
+    clicks: DataFrame, views: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: every (click, view) pair of
+    the same user with view_ts in [click_ts - horizon, click_ts].
+
+    Both sides carry a watermark equal to the horizon and the join
+    condition bounds event time in BOTH directions, so Spark can expire
+    join state: a buffered view older than (max click watermark - horizon)
+    can never match a future click and is dropped — state is
+    horizon-bounded, not unbounded, which is what makes this run forever
+    on an infinite stream. A view arriving in one micro-batch joins
+    clicks arriving in later batches (and vice versa) through that state —
+    see tests/test_streaming_media_dedup.py for the cross-batch proof.
+    Inner join ⇒ emitted rows are exact (no watermark-timing dependence);
+    outer variants would also need the watermark to close rows.
+    """
+    # Watermarks require TIMESTAMP (instant) columns — an NTZ input is
+    # interpreted in the session timezone by this cast, so callers feeding
+    # wall-clock NTZ data should pin spark.sql.session.timeZone (a DST
+    # boundary inside the horizon would otherwise shift the bound).
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    ).withWatermark("c_ts", horizon)
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_uid"),
+        F.col("ts").cast("timestamp").alias("v_ts"),
+    ).withWatermark("v_ts", horizon)
+    joined = c.join(
+        v,
+        (F.col("c_uid") == F.col("v_uid"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.expr(f"c_ts - INTERVAL {horizon}")),
+        "inner",
+    )
+    return joined.select(
+        F.col("click_id"),
+        F.col("c_uid").alias("user_id"),
+        F.col("view_id"),
+        F.expr("timestampdiff(MICROSECOND, v_ts, c_ts)").alias("lag_us"),
+    )
+
+
 def stream_osm(spark: SparkSession, path: str, fmt: str = "xml") -> DataFrame:
     """Growing extract directory of native OSM files → streaming entities
     (the incremental-ingest analog of stream_documents for the reference's

@@ -359,3 +359,72 @@ def test_stream_dedup_exact_stateful_across_batches(spark, tmp_path):
     drain()
     got2 = {(r["digest"], r["doc_id"]) for r in spark.read.parquet(out).collect()}
     assert got2 == {("x", 1), ("y", 5), ("z", 9)}, got2
+
+
+def test_stream_interval_join_across_batches(spark, tmp_path):
+    """Stream-stream interval join joins ACROSS micro-batches through join
+    state: batch 1 delivers only views (no output possible), batch 2
+    delivers the clicks — the (click, view) pairs within the 1-hour horizon
+    must then be emitted from the buffered view state, and a view older
+    than the horizon must not match."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmi_addresses_spark.streaming.ingest import stream_interval_join
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("event_type", pa.string()),
+    ])
+
+    def drop(name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                       str(src / name))
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    drop("a.parquet", [
+        {"event_id": 1, "user_id": 1, "ts": t(10, 0), "event_type": "view"},
+        {"event_id": 2, "user_id": 1, "ts": t(8, 0), "event_type": "view"},
+        {"event_id": 3, "user_id": 2, "ts": t(10, 15), "event_type": "view"},
+    ])
+
+    sschema = "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    clicks = (spark.readStream.schema(sschema).parquet(str(src))
+              .filter("event_type = 'click'"))
+    views = (spark.readStream.schema(sschema).parquet(str(src))
+             .filter("event_type = 'view'"))
+    joined = stream_interval_join(clicks, views, horizon="1 hour")
+    assert joined.isStreaming
+
+    def drain():
+        q = (joined.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(180)
+
+    drain()
+    import os
+    got1 = (spark.read.parquet(out).collect()
+            if any(f.endswith(".parquet") for f in os.listdir(out))
+            else [])
+    assert got1 == []  # views only — nothing to join yet
+
+    drop("b.parquet", [
+        {"event_id": 10, "user_id": 1, "ts": t(10, 30), "event_type": "click"},
+        {"event_id": 11, "user_id": 2, "ts": t(10, 20), "event_type": "click"},
+    ])
+    drain()
+    got2 = {(r["click_id"], r["view_id"], r["lag_us"])
+            for r in spark.read.parquet(out).collect()}
+    # view 2 (08:00) is outside click 10's horizon — must NOT appear
+    assert got2 == {(10, 1, 30 * 60 * 1_000_000), (11, 3, 5 * 60 * 1_000_000)}, got2
