@@ -1650,6 +1650,50 @@ GROUP BY 1
 """
 
 
+def m_media_resize(spark, sf_dir):
+    """Parameterized media resize (brief: decode / feature-extract /
+    resize / frame-sample): the synthetic 8×8 buffer of every media_ref
+    box-filtered to 4×4 with integer floor-mean semantics, emitted as a
+    32-char hex string. This query runs the pure Column-expression mirror
+    (whole-stage codegen, no UDF); the Arrow/numpy batch path
+    (operators/media.resize_buffers — one reshape-sum per batch) is proven
+    bit-identical in tests/test_streaming_media_dedup.py. A real decoder
+    feeds the same resize via operators/codecs.file_codec."""
+    from .operators.media import media_resize_col, media_spans
+
+    d = parsed(spark, sf_dir)
+    refs = media_spans(d["entities"]).select("media_ref").distinct()
+    return refs.select(
+        "media_ref", media_resize_col(F.col("media_ref"), 4).alias("resized_hex")
+    )
+
+
+def sql_media_resize(fx):
+    return f"""
+WITH sp AS (
+  SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('{_docs_glob(fx)}')
+), refs AS (
+  SELECT DISTINCT s.media_ref FROM sp WHERE s.kind = 'media'
+), chain AS (
+  SELECT media_ref,
+         md5(media_ref) || md5(md5(media_ref)) || md5(md5(md5(media_ref)))
+           || md5(md5(md5(md5(media_ref)))) AS hexbuf
+  FROM refs
+), px AS (
+  SELECT media_ref, CAST(j AS INT) AS j,
+         CAST('0x' || substr(hexbuf, CAST(j * 2 + 1 AS INT), 2) AS INT) AS p
+  FROM chain, range(64) r(j)
+), box AS (
+  SELECT media_ref, ((j // 8) // 2) * 4 + ((j % 8) // 2) AS i, SUM(p) AS s
+  FROM px GROUP BY 1, 2
+)
+SELECT media_ref,
+       string_agg(lpad(lower(to_hex(s // 4)), 2, '0'), '' ORDER BY i)
+         AS resized_hex
+FROM box GROUP BY media_ref
+"""
+
+
 def m_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing for multimodal media (brief: decode /
     resize / frame-sample): each media_ref is a deterministic synthetic
@@ -1760,6 +1804,7 @@ def all_queries():
         "media_refs": m_media_refs,
         "media_phash_dedup": m_phash_dedup,
         "media_frame_sample": m_frame_sample,
+        "media_resize": m_media_resize,
         "geo_pip_assign": g_pip_assign,
         "geo_street_not_found": g_street_not_found,
         "dedup_simhash": d_simhash,
@@ -1826,6 +1871,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "media_refs": sql_media_refs(fx),
         "media_phash_dedup": sql_phash_dedup(fx),
         "media_frame_sample": sql_frame_sample(fx),
+        "media_resize": sql_media_resize(fx),
         "geo_pip_assign": sql_pip_assign(fx),
         "geo_street_not_found": sql_street_not_found(fx),
         "dedup_embedding_cosine": sql_embedding_near_dup(sf_dir),

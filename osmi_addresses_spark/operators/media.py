@@ -137,6 +137,107 @@ def decode_media_buffers(
     )
 
 
+def resize_buffers(
+    decoded: DataFrame,
+    src: tuple[int, int] = (8, 8),
+    dst: tuple[int, int] = (4, 4),
+    pixels_col: str = "pixels",
+) -> DataFrame:
+    """Parameterized box-filter resize over decoded buffers (brief:
+    decode / feature-extract / RESIZE / frame-sample): (media_ref, pixels)
+    → (media_ref, resized binary, W'×H'). Arrow-batched mapInPandas; the
+    whole batch resizes as ONE numpy reshape-sum (no per-pixel Python).
+    Integer-exact semantics — each output pixel is the floor-mean of its
+    kh×kw source box — so the JVM Column mirror (`media_resize_col`) and
+    the DuckDB oracle reproduce it bit-for-bit. Requires integer scale
+    factors (kh = H/H', kw = W/W')."""
+    (sw, sh), (dw, dh) = src, dst
+    if sw % dw or sh % dh:
+        raise ValueError(f"non-integer scale: {src} -> {dst}")
+    kh, kw = sh // dh, sw // dw
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.frombuffer(
+                b"".join(pdf[pixels_col]), dtype=np.uint8
+            ).reshape(len(pdf), sh, sw)
+            out = (
+                mat.reshape(len(pdf), dh, kh, dw, kw)
+                .sum(axis=(2, 4), dtype=np.int64)
+                // (kh * kw)
+            ).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "resized": [r.tobytes() for r in out],
+                }
+            )
+
+    return decoded.mapInPandas(
+        gen,
+        schema=T.StructType(
+            [
+                T.StructField("media_ref", T.StringType()),
+                T.StructField("resized", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def media_resize_col(ref_col, dst: int = 4) -> "F.Column":
+    """The synthetic-codec decode + box-filter resize as a pure Column
+    expression: the 8×8 md5-chain buffer downsampled to dst×dst by
+    integer floor-mean, returned as a 2·dst² hex string (engine-agnostic).
+    Bit-identical to resize_buffers over decode_media_buffers and to the
+    DuckDB oracle."""
+    side = 8
+    if side % dst:
+        raise ValueError(f"non-integer scale: 8 -> {dst}")
+    k = side // dst
+    h = F.md5(F.encode(ref_col, "utf-8"))
+    hexbuf = h
+    for _ in range(PIXELS // 16 - 1):
+        h = F.md5(F.encode(h, "utf-8"))
+        hexbuf = F.concat(hexbuf, h)
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(PIXELS - 1)),
+        lambda j: F.conv(hexbuf.substr(j * 2 + 1, F.lit(2)), 16, 10).cast("int"),
+    )
+    box = F.transform(
+        F.sequence(F.lit(0), F.lit(dst * dst - 1)),
+        lambda i: F.aggregate(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda r: F.transform(
+                        F.sequence(F.lit(0), F.lit(k - 1)),
+                        lambda c: F.element_at(
+                            px,
+                            ((i / dst).cast("int") * k + r) * side
+                            + (i % dst) * k
+                            + c
+                            + 1,
+                        ),
+                    ),
+                )
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.array_join(
+        F.transform(
+            box,
+            lambda s: F.lpad(
+                F.lower(F.hex(F.floor(s / (k * k)).cast("int"))), 2, "0"
+            ),
+        ),
+        "",
+    )
+
+
 def phash_from_pixels(pixels: bytes) -> str:
     """Average-hash of a decoded buffer: bit j = pixel j > mean. Returned as
     a 64-char '0'/'1' string (engine-agnostic, no sign-bit gymnastics)."""
