@@ -7,7 +7,17 @@ Provides the north-rule requirements:
 - atomic per-table commit (manifest written last, via tempfile rename),
 - per-partition lineage + row-count metrics in the manifest,
 - resumable re-runs: `write_once` skips tables whose manifest matches the
-  input fingerprint (a re-run after a crash recomputes only missing tables).
+  input fingerprint (a re-run after a crash recomputes only missing tables),
+- versioned snapshots (Iceberg's snapshot model in miniature): every write
+  lands in a fresh `<table>/v000NN` directory and the pointer manifest
+  flips to it atomically LAST — the previous committed version is never
+  touched, so a crash mid-write leaves the prior snapshot fully readable
+  (the old layout rmtree'd committed data before re-writing: a crash there
+  lost the table). `read(..., version=N)` time-travels, `versions()`
+  lists snapshots, `vacuum(keep=K)` retires old data dirs, and
+  `compact()` rewrites the current snapshot into ~target-size files as a
+  new version (small-file compaction — at 100 TB the file count, not the
+  byte count, is what kills scan planning and commit latency).
 
 Also the engine's answer to "cache vs recompute" at 100 TB: wide shared
 intermediates (parsed entities, assembled way geometries) are checkpointed
@@ -46,8 +56,23 @@ class TableStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
-    def _dir(self, name: str) -> str:
-        return os.path.join(self.root, name)
+    def _dir(self, name: str, version: int | None = None) -> str:
+        """Data directory of a snapshot (default: the current one). Tables
+        written before versioning (manifest without a `version` key) keep
+        resolving to the legacy flat layout."""
+        m = self.manifest(name)
+        if m is None or "version" not in m:
+            return os.path.join(self.root, name)
+        if version is None:
+            return os.path.join(self.root, m["version_dir"])
+        snaps = m.get("snapshots", {})
+        key = str(version)
+        if key not in snaps:
+            raise KeyError(
+                f"{name}: no snapshot v{version} "
+                f"(have {sorted(int(k) for k in snaps)})"
+            )
+        return os.path.join(self.root, snaps[key]["version_dir"])
 
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self.root, f"{name}.manifest.json")
@@ -75,12 +100,19 @@ class TableStore:
         lineage: dict | None = None,
         options: dict | None = None,
     ) -> str:
-        """Write + commit. The data lands first; the manifest (the commit
-        point) is renamed into place last — a crashed write leaves no
-        manifest and the table reads as absent."""
-        path = self._dir(name)
-        if os.path.exists(path):
+        """Write + commit a new snapshot. The data lands in a fresh
+        version directory first; the pointer manifest (the commit point)
+        is renamed into place last. The previously committed version is
+        never modified or deleted here — a crash at ANY point leaves the
+        prior snapshot fully readable (an orphaned half-written version
+        dir is reclaimed by the next write attempt or `vacuum`)."""
+        prev = self.manifest(name)
+        ver = (prev.get("version", 0) if prev else 0) + 1
+        rel = f"{name}/v{ver:05d}"
+        path = os.path.join(self.root, rel)
+        if os.path.exists(path):  # crashed earlier attempt at this version
             shutil.rmtree(path)
+        os.makedirs(os.path.join(self.root, name), exist_ok=True)
         t0 = time.time()
         # v1 committer for committed tables: task attempts write under
         # _temporary/ and only the job commit renames them into place, so a
@@ -125,19 +157,42 @@ class TableStore:
                     nrows = -1
                     break
             parts[rel] = {"files": len(pfiles), "bytes": nbytes, "rows": nrows}
+        committed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        rel_posix = f"{name}/v{ver:05d}"
+        snapshots = dict(prev.get("snapshots", {})) if prev else {}
+        snapshots[str(ver)] = {
+            "version_dir": rel_posix,
+            "committed_at": committed_at,
+            "write_seconds": elapsed,
+            "partitions": parts,
+            "lineage": lineage or {},
+        }
         manifest = {
             "table": name,
+            "version": ver,
+            "version_dir": rel_posix,
             "write_seconds": elapsed,
-            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "committed_at": committed_at,
             "schema": df.schema.jsonValue(),
             "partition_by": partition_by or [],
             "partitions": parts,
             "lineage": lineage or {},
+            "snapshots": snapshots,
         }
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path(name))
+        # post-commit: a table upgraded from the pre-versioning flat layout
+        # still has its superseded files directly under root/name — retire
+        # them now that the new snapshot is committed
+        if prev is not None and "version" not in prev:
+            tdir = os.path.join(self.root, name)
+            for entry in os.listdir(tdir):
+                if entry == f"v{ver:05d}":
+                    continue
+                p = os.path.join(tdir, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
         return path
 
     def write_once(
@@ -154,5 +209,68 @@ class TableStore:
             return self._dir(name)
         return self.write(name, df_factory(), partition_by=partition_by, lineage=lineage)
 
-    def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self._dir(name))
+    def read(
+        self, spark: SparkSession, name: str, version: int | None = None
+    ) -> DataFrame:
+        """Read the current snapshot, or time-travel to `version`."""
+        return spark.read.parquet(self._dir(name, version))
+
+    def versions(self, name: str) -> list[int]:
+        """Committed snapshot versions, oldest first (data dirs may have
+        been vacuumed for all but the retained tail)."""
+        m = self.manifest(name) or {}
+        return sorted(int(k) for k in m.get("snapshots", {}))
+
+    def vacuum(self, name: str, keep: int = 1) -> list[int]:
+        """Retire all but the newest `keep` snapshots: the pointer manifest
+        is pruned FIRST (atomic replace), then the retired version dirs are
+        deleted — a crash in between leaves unreferenced dirs, never a
+        referenced-but-deleted snapshot. The current version always
+        survives. Returns the retired version numbers."""
+        m = self.manifest(name)
+        if not m or "version" not in m:
+            return []
+        vers = sorted(int(k) for k in m.get("snapshots", {}))
+        keep_set = set(vers[-max(keep, 1):]) | {m["version"]}
+        drop = [v for v in vers if v not in keep_set]
+        if not drop:
+            return []
+        dirs = [self._dir(name, v) for v in drop]
+        m["snapshots"] = {
+            k: v for k, v in m["snapshots"].items() if int(k) not in set(drop)
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path(name))
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return drop
+
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_bytes: int = 128 << 20,
+    ) -> str:
+        """Small-file compaction: rewrite the current snapshot into
+        ~target_bytes files as a NEW version (readers of the old snapshot
+        are unaffected; `vacuum` reclaims it later). File count is sized
+        from the manifest's byte metrics — no data scan to plan the job.
+        Lineage is carried over unchanged so a following `write_once` with
+        the same source still skips. Partitioned tables repartition on
+        their partition columns so each output task writes one file per
+        value it holds."""
+        import math
+
+        m = self.manifest(name)
+        if not m:
+            raise KeyError(f"no committed table {name!r}")
+        total = sum(p["bytes"] for p in m.get("partitions", {}).values())
+        nfiles = max(1, math.ceil(total / target_bytes))
+        df = self.read(spark, name)
+        pby = m.get("partition_by") or []
+        df = df.repartition(nfiles, *pby) if pby else df.repartition(nfiles)
+        return self.write(
+            name, df, partition_by=pby or None, lineage=m.get("lineage") or None
+        )

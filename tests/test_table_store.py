@@ -56,3 +56,113 @@ def test_write_layers_end_to_end(spark, small_docs, tmp_path):
         m = store.manifest(f"layer_{name}")
         assert m is not None
         assert store.read(spark, f"layer_{name}").count() == layers[name].count()
+
+
+def test_versioned_snapshots_time_travel(spark, tmp_path):
+    store = TableStore(str(tmp_path / "wh"))
+    store.write("t", spark.range(5).toDF("id"))
+    store.write("t", spark.range(100, 103).toDF("id"))
+    assert store.versions("t") == [1, 2]
+    assert {r["id"] for r in store.read(spark, "t").collect()} == {100, 101, 102}
+    assert {r["id"] for r in store.read(spark, "t", version=1).collect()} == set(range(5))
+    import pytest
+
+    with pytest.raises(KeyError, match="no snapshot v9"):
+        store.read(spark, "t", version=9)
+
+
+def test_crashed_write_leaves_previous_snapshot_readable(spark, tmp_path):
+    """The durability property the old flat layout lacked: a writer dying
+    mid-write (data dir half-written, pointer manifest not flipped) leaves
+    the prior committed snapshot untouched and current."""
+    import os
+
+    store = TableStore(str(tmp_path / "wh"))
+    store.write("t", spark.range(7).toDF("id"))
+    # simulate a crashed v2 attempt: orphan dir, no manifest flip
+    orphan = os.path.join(store.root, "t", "v00002")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-garbage.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert store.read(spark, "t").count() == 7  # still v1
+    assert store.manifest("t")["version"] == 1
+    # the next real write reclaims the orphan and commits v2 cleanly
+    store.write("t", spark.range(2).toDF("id"))
+    assert store.manifest("t")["version"] == 2
+    assert store.read(spark, "t").count() == 2
+    assert store.read(spark, "t", version=1).count() == 7
+
+
+def test_vacuum_retires_old_snapshots(spark, tmp_path):
+    import os
+
+    import pytest
+
+    store = TableStore(str(tmp_path / "wh"))
+    for n in (4, 5, 6):
+        store.write("t", spark.range(n).toDF("id"))
+    d1 = store._dir("t", 1)
+    assert store.vacuum("t", keep=1) == [1, 2]
+    assert store.versions("t") == [3]
+    assert not os.path.exists(d1)
+    assert store.read(spark, "t").count() == 6
+    with pytest.raises(KeyError):
+        store.read(spark, "t", version=1)
+    assert store.vacuum("t", keep=1) == []  # idempotent
+
+
+def test_compact_preserves_rows_and_write_once_skip(spark, tmp_path):
+    src = tmp_path / "src"
+    df = spark.range(1000).toDF("id")
+    df.write.parquet(str(src))
+    store = TableStore(str(tmp_path / "wh"))
+    store.write_once(
+        "t", lambda: spark.read.parquet(str(src)).repartition(16),
+        source_path=str(src),
+    )
+    m1 = store.manifest("t")
+    assert sum(p["files"] for p in m1["partitions"].values()) == 16
+    store.compact(spark, "t", target_bytes=1 << 30)
+    m2 = store.manifest("t")
+    assert m2["version"] == m1["version"] + 1
+    assert sum(p["files"] for p in m2["partitions"].values()) == 1
+    got = sorted(r["id"] for r in store.read(spark, "t").collect())
+    assert got == list(range(1000))
+    # lineage carried over: a re-run's write_once still skips (no rewrite)
+    store.write_once(
+        "t", lambda: spark.read.parquet(str(src)).repartition(16),
+        source_path=str(src),
+    )
+    assert store.manifest("t")["version"] == m2["version"]
+
+
+def test_legacy_flat_layout_upgrades_in_place(spark, tmp_path):
+    """A table committed by the pre-versioning layout (files directly under
+    root/<name>, manifest without `version`) stays readable, and the next
+    write migrates it: new snapshot dir, superseded flat files retired
+    after the commit."""
+    import json
+    import os
+    import shutil
+
+    store = TableStore(str(tmp_path / "wh"))
+    store.write("t", spark.range(9).toDF("id"))
+    # devolve to the legacy layout: move v00001/* up, strip version keys
+    tdir = os.path.join(store.root, "t")
+    vdir = os.path.join(tdir, "v00001")
+    for f in os.listdir(vdir):
+        shutil.move(os.path.join(vdir, f), os.path.join(tdir, f))
+    os.rmdir(vdir)
+    mp = store._manifest_path("t")
+    with open(mp) as f:
+        m = json.load(f)
+    for k in ("version", "version_dir", "snapshots"):
+        m.pop(k)
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    assert store.read(spark, "t").count() == 9  # legacy resolve
+    store.write("t", spark.range(3).toDF("id"))
+    assert store.read(spark, "t").count() == 3
+    assert store.versions("t") == [1]
+    # flat-layout leftovers are gone; only the snapshot dir remains
+    assert sorted(os.listdir(tdir)) == ["v00001"]
