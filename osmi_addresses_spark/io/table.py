@@ -177,6 +177,7 @@ class TableStore:
             "partition_by": partition_by or [],
             "partitions": parts,
             "lineage": lineage or {},
+            "write_options": options or {},
             "snapshots": snapshots,
         }
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
@@ -252,6 +253,7 @@ class TableStore:
         spark: SparkSession,
         name: str,
         target_bytes: int = 128 << 20,
+        sort_within: list | None = None,
     ) -> str:
         """Small-file compaction: rewrite the current snapshot into
         ~target_bytes files as a NEW version (readers of the old snapshot
@@ -260,7 +262,10 @@ class TableStore:
         Lineage is carried over unchanged so a following `write_once` with
         the same source still skips. Partitioned tables repartition on
         their partition columns so each output task writes one file per
-        value it holds."""
+        value it holds. `sort_within` (Column exprs) re-applies in-file
+        clustering the original writer used — without it a compacted layer
+        table would lose the min/max row-group pruning window reads depend
+        on."""
         import math
 
         m = self.manifest(name)
@@ -271,6 +276,14 @@ class TableStore:
         df = self.read(spark, name)
         pby = m.get("partition_by") or []
         df = df.repartition(nfiles, *pby) if pby else df.repartition(nfiles)
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
         return self.write(
-            name, df, partition_by=pby or None, lineage=m.get("lineage") or None
+            name,
+            df,
+            partition_by=pby or None,
+            lineage=m.get("lineage") or None,
+            # carry the original writer options (row-group sizing etc.) so
+            # compaction doesn't change the table's physical contract
+            options=m.get("write_options") or None,
         )

@@ -315,23 +315,35 @@ def run_all(
     return out
 
 
+def layer_cluster_expr(df: DataFrame):
+    """The grid-cell clustering key a layer table is sorted by within
+    files (S5): point layers by their cell, LINESTRING layers by the first
+    vertex's cell. None for geometry-less tables. Shared by write_layers
+    and snapshot compaction so a compacted layer keeps the min/max
+    row-group pruning that window reads depend on."""
+    from ..functions.cells import cell_of
+
+    if "geom" not in df.columns:
+        return None
+    if df.schema["geom"].dataType.typeName() == "struct":
+        return cell_of(F.col("geom.lon"), F.col("geom.lat"))
+    first = F.element_at("geom", 1)
+    return cell_of(first["lon"], first["lat"])
+
+
 def write_layers(layers: dict[str, DataFrame], store, layer_names=None) -> dict[str, str]:
     """S3/S5 — layer sinks: one committed table per layer (SpatiaLite-file
     analog), clustered by grid cell within files so min/max parquet column
     stats replace the reference's deferred R-tree build
     (create_spatial_indices.sh:19-37). Transaction batching (osmi/Writer.hpp:
     83-91) maps to parquet row groups; the manifest is the commit."""
-    from ..functions.cells import cell_of
     from ..schemas import LAYER_NAMES
 
     paths = {}
     for name in layer_names or LAYER_NAMES:
         df = layers[name]
         if "geom" in df.columns:
-            g = df.schema["geom"].dataType.typeName()
-            if g == "struct":
-                sort_cell = cell_of(F.col("geom.lon"), F.col("geom.lat"))
-            else:
+            if df.schema["geom"].dataType.typeName() != "struct":
                 # LINESTRING layers: materialize the per-row bbox as four
                 # top-level doubles so window reads get the same parquet
                 # min/max row-group pruning point layers get from geom.lon/
@@ -345,8 +357,7 @@ def write_layers(layers: dict[str, DataFrame], store, layer_names=None) -> dict[
                     .withColumn("_bbox_s", F.array_min(lats))
                     .withColumn("_bbox_n", F.array_max(lats))
                 )
-                first = F.element_at("geom", 1)
-                sort_cell = cell_of(first["lon"], first["lat"])
+            sort_cell = layer_cluster_expr(df)
             df = df.withColumn("_cell", sort_cell).sortWithinPartitions("_cell").drop("_cell")
         paths[name] = store.write(f"layer_{name}", df)
     return paths

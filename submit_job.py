@@ -9,6 +9,8 @@ Usage (cluster):
         [--format parquet|osm-xml|osm-pbf] \  # default: inferred from path
         [--spatialite <dir>]  # also export reference-contract .sqlite files
         [--spatialite-shards N]  # distributed export: N shards/layer + merge
+        [--compact-target-mb MB]  # post-run small-file compaction (new snapshot)
+        [--vacuum-keep K]  # retire all but the newest K snapshots per layer
 
 The job is resumable: re-running with the same --output skips every table
 whose manifest lineage still matches (io/table.py); per-partition metrics
@@ -47,6 +49,23 @@ def main(argv=None):
         help="with --spatialite: write N SpatiaLite shards per layer "
         "executor-side and ATTACH-merge them into the single-file contract "
         "(the driver never streams rows; use for large layers)",
+    )
+    ap.add_argument(
+        "--compact-target-mb",
+        type=int,
+        default=None,
+        metavar="MB",
+        help="after the run, rewrite each written layer table into "
+        "~MB-sized files as a new snapshot (small-file compaction; old "
+        "snapshots stay readable until --vacuum-keep retires them)",
+    )
+    ap.add_argument(
+        "--vacuum-keep",
+        type=int,
+        default=None,
+        metavar="K",
+        help="after the run (and compaction, if any), retire all but the "
+        "newest K snapshots of each written layer table",
     )
     ap.add_argument(
         "--warm",
@@ -97,6 +116,24 @@ def main(argv=None):
     names = args.layers.split(",") if args.layers else None
     paths = write_layers(layers, store, layer_names=names)
     out = {"written": paths}
+    if args.compact_target_mb:
+        from osmi_addresses_spark.plans.pipeline import layer_cluster_expr
+
+        out["compacted"] = {}
+        for n in names or sorted(layers):
+            df = store.read(spark, f"layer_{n}")
+            cl = layer_cluster_expr(df)
+            out["compacted"][n] = store.compact(
+                spark,
+                f"layer_{n}",
+                target_bytes=args.compact_target_mb << 20,
+                sort_within=[cl] if cl is not None else None,
+            )
+    if args.vacuum_keep:
+        out["vacuumed"] = {
+            n: store.vacuum(f"layer_{n}", keep=args.vacuum_keep)
+            for n in (names or sorted(layers))
+        }
     if args.spatialite:
         from osmi_addresses_spark.schemas import LAYER_FIELDS
 

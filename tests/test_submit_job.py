@@ -47,7 +47,9 @@ def test_spark_submit_runs_and_resumes(tmp_path):
 def test_submit_main_from_pbf(tmp_path, spark, small_world):
     """--format auto routes a .osm.pbf input through the native reader and
     the same resumable warehouse path (direct main() call — the
-    spark-submit wrapper is covered above)."""
+    spark-submit wrapper is covered above). Also drives the snapshot
+    maintenance flags: --compact-target-mb rewrites the layer as version 2
+    (cluster expr re-applied) and --vacuum-keep 1 retires version 1."""
     import submit_job
     from osmi_addresses_spark.sources.osm_pbf import write_osm_pbf
 
@@ -58,8 +60,12 @@ def test_submit_main_from_pbf(tmp_path, spark, small_world):
     sl_dir = str(tmp_path / "spatialite")
     submit_job.main(
         ["--input", pbf, "--output", out, "--layers", "entrances",
-         "--spatialite", sl_dir]
+         "--spatialite", sl_dir,
+         "--compact-target-mb", "64", "--vacuum-keep", "1"]
     )
+    lm = json.load(open(f"{out}/layer_entrances.manifest.json"))
+    assert lm["version"] == 2  # compaction committed a second snapshot
+    assert sorted(int(k) for k in lm["snapshots"]) == [2]  # v1 vacuumed
     # --spatialite also emits the reference's file contract for the layer
     import sqlite3
 
