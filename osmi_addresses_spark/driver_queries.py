@@ -2880,10 +2880,14 @@ def d_stream_dedup(spark, sf_dir):
 
     from .streaming.stateful import stream_dedup_exact
 
+    import atexit
+    import shutil
+
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.encode("text", "utf-8")).alias("digest")
     )
     tmp = tempfile.mkdtemp(prefix="osmi_sdq_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     src, out, ck = (os.path.join(tmp, x) for x in ("src", "out", "ck"))
     d.write.parquet(src)
     # schema derived from the written file (doc_id's type follows the
@@ -2898,7 +2902,9 @@ def d_stream_dedup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_dedup_exact did not drain within 300s")
     return spark.read.parquet(out).select(
         "digest", F.col("doc_id").alias("keep_doc")
     )
@@ -2924,8 +2930,12 @@ def q_stream_interval_join(spark, sf_dir):
 
     from .streaming.ingest import stream_interval_join
 
+    import atexit
+    import shutil
+
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
     tmp = tempfile.mkdtemp(prefix="osmi_sij_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     src, out, ck = (os.path.join(tmp, x) for x in ("src", "out", "ck"))
     e.write.parquet(src)
     schema = spark.read.parquet(src).schema
@@ -2953,7 +2963,11 @@ def q_stream_interval_join(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_interval_join did not drain within 300s"
+            )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return spark.read.parquet(out)

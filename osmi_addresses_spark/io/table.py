@@ -9,7 +9,9 @@ Provides the north-rule requirements:
 - resumable re-runs: `write_once` skips tables whose manifest matches the
   input fingerprint (a re-run after a crash recomputes only missing tables),
 - versioned snapshots (Iceberg's snapshot model in miniature): every write
-  lands in a fresh `<table>/v000NN` directory and the pointer manifest
+  lands in a fresh `<table>.snapshots/v000NN` directory (a sibling of the
+  pre-versioning flat layout, so even a legacy reader never lists a
+  half-written version) and the pointer manifest
   flips to it atomically LAST — the previous committed version is never
   touched, so a crash mid-write leaves the prior snapshot fully readable
   (the old layout rmtree'd committed data before re-writing: a crash there
@@ -56,16 +58,25 @@ class TableStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
+    def _snapdir(self, name: str) -> str:
+        """The table's snapshot container, a SIBLING of the legacy flat
+        data dir — a new version is never staged inside a directory a
+        legacy reader is resolving, so there is no window in which such a
+        reader lists old and new part files together."""
+        return os.path.join(self.root, f"{name}.snapshots")
+
     def _dir(self, name: str, version: int | None = None) -> str:
         """Data directory of a snapshot (default: the current one). Tables
         written before versioning (manifest without a `version` key) keep
-        resolving to the legacy flat layout."""
+        resolving to the legacy flat layout — but an explicit `version`
+        request on one raises rather than silently returning current
+        data."""
         m = self.manifest(name)
-        if m is None or "version" not in m:
-            return os.path.join(self.root, name)
         if version is None:
+            if m is None or "version" not in m:
+                return os.path.join(self.root, name)
             return os.path.join(self.root, m["version_dir"])
-        snaps = m.get("snapshots", {})
+        snaps = (m or {}).get("snapshots", {})
         key = str(version)
         if key not in snaps:
             raise KeyError(
@@ -108,11 +119,11 @@ class TableStore:
         dir is reclaimed by the next write attempt or `vacuum`)."""
         prev = self.manifest(name)
         ver = (prev.get("version", 0) if prev else 0) + 1
-        rel = f"{name}/v{ver:05d}"
+        rel = f"{name}.snapshots/v{ver:05d}"
         path = os.path.join(self.root, rel)
         if os.path.exists(path):  # crashed earlier attempt at this version
             shutil.rmtree(path)
-        os.makedirs(os.path.join(self.root, name), exist_ok=True)
+        os.makedirs(self._snapdir(name), exist_ok=True)
         t0 = time.time()
         # v1 committer for committed tables: task attempts write under
         # _temporary/ and only the job commit renames them into place, so a
@@ -158,7 +169,7 @@ class TableStore:
                     break
             parts[rel] = {"files": len(pfiles), "bytes": nbytes, "rows": nrows}
         committed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        rel_posix = f"{name}/v{ver:05d}"
+        rel_posix = f"{name}.snapshots/v{ver:05d}"
         snapshots = dict(prev.get("snapshots", {})) if prev else {}
         snapshots[str(ver)] = {
             "version_dir": rel_posix,
@@ -185,15 +196,13 @@ class TableStore:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path(name))
         # post-commit: a table upgraded from the pre-versioning flat layout
-        # still has its superseded files directly under root/name — retire
-        # them now that the new snapshot is committed
+        # still has its superseded flat data dir at root/name — retire it
+        # now that the new snapshot is committed (it was untouched, and
+        # legacy readers untouched, for the whole write)
         if prev is not None and "version" not in prev:
-            tdir = os.path.join(self.root, name)
-            for entry in os.listdir(tdir):
-                if entry == f"v{ver:05d}":
-                    continue
-                p = os.path.join(tdir, entry)
-                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+            legacy = os.path.join(self.root, name)
+            if os.path.isdir(legacy):
+                shutil.rmtree(legacy)
         return path
 
     def write_once(
@@ -225,27 +234,42 @@ class TableStore:
     def vacuum(self, name: str, keep: int = 1) -> list[int]:
         """Retire all but the newest `keep` snapshots: the pointer manifest
         is pruned FIRST (atomic replace), then the retired version dirs are
-        deleted — a crash in between leaves unreferenced dirs, never a
-        referenced-but-deleted snapshot. The current version always
-        survives. Returns the retired version numbers."""
+        deleted — a crash in between leaves unreferenced dirs, which the
+        orphan sweep below reclaims on the NEXT vacuum (it deletes any
+        v-dir in the snapshot container that no committed snapshot
+        references, including half-written dirs from crashed writes). The
+        current version always survives. Returns the retired version
+        numbers."""
         m = self.manifest(name)
         if not m or "version" not in m:
             return []
-        vers = sorted(int(k) for k in m.get("snapshots", {}))
+        snaps = m.get("snapshots", {})
+        vers = sorted(int(k) for k in snaps)
         keep_set = set(vers[-max(keep, 1):]) | {m["version"]}
         drop = [v for v in vers if v not in keep_set]
-        if not drop:
-            return []
-        dirs = [self._dir(name, v) for v in drop]
-        m["snapshots"] = {
-            k: v for k, v in m["snapshots"].items() if int(k) not in set(drop)
-        }
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self._manifest_path(name))
+        dirs = [
+            os.path.join(self.root, snaps[str(v)]["version_dir"]) for v in drop
+        ]
+        if drop:
+            m["snapshots"] = {
+                k: v for k, v in snaps.items() if int(k) not in set(drop)
+            }
+            fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(m, f, indent=1)
+            os.replace(tmp, self._manifest_path(name))
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+        # orphan sweep: v-dirs no committed snapshot references (crashed
+        # writes, or dirs whose delete above was interrupted last time)
+        sdir = self._snapdir(name)
+        referenced = {
+            os.path.basename(s["version_dir"]) for s in m["snapshots"].values()
+        }
+        if os.path.isdir(sdir):
+            for entry in os.listdir(sdir):
+                if entry.startswith("v") and entry not in referenced:
+                    shutil.rmtree(os.path.join(sdir, entry), ignore_errors=True)
         return drop
 
     def compact(

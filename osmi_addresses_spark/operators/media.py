@@ -186,6 +186,22 @@ def resize_buffers(
     )
 
 
+def _pixels_col(ref_col) -> "F.Column":
+    """The synthetic-codec decode as a Column expression: md5-chain hex →
+    array of PIXELS ints. THE single JVM-side definition of the codec —
+    media_phash_col and media_resize_col both build on it, so the chain
+    (and PIXELS) can never drift between the two mirrors."""
+    h = F.md5(F.encode(ref_col, "utf-8"))
+    hexbuf = h
+    for _ in range(PIXELS // 16 - 1):
+        h = F.md5(F.encode(h, "utf-8"))
+        hexbuf = F.concat(hexbuf, h)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PIXELS - 1)),
+        lambda j: F.conv(hexbuf.substr(j * 2 + 1, F.lit(2)), 16, 10).cast("int"),
+    )
+
+
 def media_resize_col(ref_col, dst: int = 4) -> "F.Column":
     """The synthetic-codec decode + box-filter resize as a pure Column
     expression: the 8×8 md5-chain buffer downsampled to dst×dst by
@@ -196,15 +212,7 @@ def media_resize_col(ref_col, dst: int = 4) -> "F.Column":
     if side % dst:
         raise ValueError(f"non-integer scale: 8 -> {dst}")
     k = side // dst
-    h = F.md5(F.encode(ref_col, "utf-8"))
-    hexbuf = h
-    for _ in range(PIXELS // 16 - 1):
-        h = F.md5(F.encode(h, "utf-8"))
-        hexbuf = F.concat(hexbuf, h)
-    px = F.transform(
-        F.sequence(F.lit(0), F.lit(PIXELS - 1)),
-        lambda j: F.conv(hexbuf.substr(j * 2 + 1, F.lit(2)), 16, 10).cast("int"),
-    )
+    px = _pixels_col(ref_col)
     box = F.transform(
         F.sequence(F.lit(0), F.lit(dst * dst - 1)),
         lambda i: F.aggregate(
@@ -247,17 +255,10 @@ def phash_from_pixels(pixels: bytes) -> str:
 
 def media_phash_col(ref_col) -> "F.Column":
     """The same decode + average-hash as a pure Column expression (JVM md5
-    chain), used on the query hot path — bit-identical to
-    phash_from_pixels(_fake_pixels(ref)) and to the DuckDB oracle."""
-    h = F.md5(F.encode(ref_col, "utf-8"))
-    hexbuf = h
-    for _ in range(PIXELS // 16 - 1):
-        h = F.md5(F.encode(h, "utf-8"))
-        hexbuf = F.concat(hexbuf, h)
-    pixels = F.transform(
-        F.sequence(F.lit(0), F.lit(PIXELS - 1)),
-        lambda j: F.conv(hexbuf.substr(j * 2 + 1, F.lit(2)), 16, 10).cast("int"),
-    )
+    chain via the shared _pixels_col), used on the query hot path —
+    bit-identical to phash_from_pixels(_fake_pixels(ref)) and to the
+    DuckDB oracle."""
+    pixels = _pixels_col(ref_col)
     total = F.aggregate(pixels, F.lit(0), lambda acc, x: acc + x)
     return F.array_join(
         F.transform(

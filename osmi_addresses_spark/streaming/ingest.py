@@ -64,8 +64,13 @@ def stream_interval_join(
     on an infinite stream. A view arriving in one micro-batch joins
     clicks arriving in later batches (and vice versa) through that state —
     see tests/test_streaming_media_dedup.py for the cross-batch proof.
-    Inner join ⇒ emitted rows are exact (no watermark-timing dependence);
-    outer variants would also need the watermark to close rows.
+    The flip side of bounded state: an input row arriving LATER than its
+    side's watermark allows (older than max-seen event time - horizon) is
+    dropped before the join, so emission equals the batch range join only
+    for data at most `horizon` out of order — the standard stream-stream
+    contract. (The driver-gate run drains everything in one availableNow
+    batch, where the watermark is still at epoch and nothing can be late.)
+    Outer variants would additionally need the watermark to close rows.
     """
     # Watermarks require TIMESTAMP (instant) columns — an NTZ input is
     # interpreted in the session timezone by this cast, so callers feeding

@@ -116,11 +116,14 @@ def main(argv=None):
     names = args.layers.split(",") if args.layers else None
     paths = write_layers(layers, store, layer_names=names)
     out = {"written": paths}
+    # maintenance passes run over the tables write_layers actually wrote
+    # (paths keys), not every run_all entry — derived frames without a
+    # committed layer table have nothing to compact
     if args.compact_target_mb:
         from osmi_addresses_spark.plans.pipeline import layer_cluster_expr
 
         out["compacted"] = {}
-        for n in names or sorted(layers):
+        for n in sorted(paths):
             df = store.read(spark, f"layer_{n}")
             cl = layer_cluster_expr(df)
             out["compacted"][n] = store.compact(
@@ -132,7 +135,7 @@ def main(argv=None):
     if args.vacuum_keep:
         out["vacuumed"] = {
             n: store.vacuum(f"layer_{n}", keep=args.vacuum_keep)
-            for n in (names or sorted(layers))
+            for n in sorted(paths)
         }
     if args.spatialite:
         from osmi_addresses_spark.schemas import LAYER_FIELDS

@@ -105,3 +105,29 @@ def test_submit_main_spatialite_sharded(tmp_path, spark, small_world):
     con.close()
     manifest = json.load(open(f"{out}/layer_entrances.manifest.json"))
     assert n_sl == sum(p["rows"] for p in manifest["partitions"].values()) > 0
+
+
+def test_submit_compact_all_layers_default(tmp_path, spark, small_world):
+    """--compact-target-mb with NO --layers must compact exactly the
+    tables write_layers wrote (regression: iterating run_all's dict also
+    reached derived frames with no committed table and crashed on read)."""
+    import os
+
+    import submit_job
+    from osmi_addresses_spark.sources.osm_pbf import write_osm_pbf
+
+    pbf = write_osm_pbf(
+        str(tmp_path / "world.osm.pbf"), small_world.nodes, small_world.ways
+    )
+    out = str(tmp_path / "wh_all")
+    submit_job.main(
+        ["--input", pbf, "--output", out,
+         "--compact-target-mb", "64", "--vacuum-keep", "1"]
+    )
+    manifests = [f for f in os.listdir(out) if f.startswith("layer_")
+                 and f.endswith(".manifest.json")]
+    assert len(manifests) >= 11
+    for mf in manifests:
+        m = json.load(open(os.path.join(out, mf)))
+        assert m["version"] == 2, mf  # compacted
+        assert sorted(int(k) for k in m["snapshots"]) == [2], mf  # vacuumed

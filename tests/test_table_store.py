@@ -80,7 +80,7 @@ def test_crashed_write_leaves_previous_snapshot_readable(spark, tmp_path):
     store = TableStore(str(tmp_path / "wh"))
     store.write("t", spark.range(7).toDF("id"))
     # simulate a crashed v2 attempt: orphan dir, no manifest flip
-    orphan = os.path.join(store.root, "t", "v00002")
+    orphan = os.path.join(store._snapdir("t"), "v00002")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "part-garbage.parquet"), "wb") as f:
         f.write(b"not parquet")
@@ -147,9 +147,11 @@ def test_legacy_flat_layout_upgrades_in_place(spark, tmp_path):
 
     store = TableStore(str(tmp_path / "wh"))
     store.write("t", spark.range(9).toDF("id"))
-    # devolve to the legacy layout: move v00001/* up, strip version keys
+    # devolve to the legacy layout: move the snapshot's files to root/t,
+    # strip the version keys from the manifest
     tdir = os.path.join(store.root, "t")
-    vdir = os.path.join(tdir, "v00001")
+    os.makedirs(tdir)
+    vdir = os.path.join(store._snapdir("t"), "v00001")
     for f in os.listdir(vdir):
         shutil.move(os.path.join(vdir, f), os.path.join(tdir, f))
     os.rmdir(vdir)
@@ -161,8 +163,31 @@ def test_legacy_flat_layout_upgrades_in_place(spark, tmp_path):
     with open(mp, "w") as f:
         json.dump(m, f)
     assert store.read(spark, "t").count() == 9  # legacy resolve
+    import pytest
+
+    with pytest.raises(KeyError):  # explicit time travel on legacy: loud
+        store.read(spark, "t", version=1)
     store.write("t", spark.range(3).toDF("id"))
     assert store.read(spark, "t").count() == 3
     assert store.versions("t") == [1]
-    # flat-layout leftovers are gone; only the snapshot dir remains
-    assert sorted(os.listdir(tdir)) == ["v00001"]
+    # the superseded flat dir is retired post-commit; snapshots are
+    # siblings, so the legacy dir was never mixed with version dirs
+    assert not os.path.exists(tdir)
+    assert os.path.isdir(os.path.join(store._snapdir("t"), "v00001"))
+
+
+def test_vacuum_sweeps_orphan_version_dirs(spark, tmp_path):
+    """A half-written version dir from a crashed writer (never committed to
+    the manifest) is reclaimed by vacuum's orphan sweep — even when no
+    committed snapshot is old enough to retire."""
+    import os
+
+    store = TableStore(str(tmp_path / "wh"))
+    store.write("t", spark.range(5).toDF("id"))
+    orphan = os.path.join(store._snapdir("t"), "v00009")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "wb") as f:
+        f.write(b"junk")
+    assert store.vacuum("t", keep=1) == []  # nothing committed to retire
+    assert not os.path.exists(orphan)  # ...but the orphan is gone
+    assert store.read(spark, "t").count() == 5
