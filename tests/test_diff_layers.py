@@ -204,3 +204,27 @@ def test_sqlite_diff_reads_sharded_export(spark, small_docs, tmp_path):
     )
     assert not is_clean(report)
     assert report["entrances"]["only_a"] == 1 and report["entrances"]["only_b"] == 0
+
+
+def test_diff_two_versions_of_one_store(spark, tmp_path):
+    """Same store dir on both sides + version-a/version-b: the snapshot
+    diff — v1 vs v2 reports exactly the changed rows, v2 vs v2 is clean,
+    and a vacuumed version raises loudly instead of diffing nothing."""
+    import pytest
+
+    from osmi_addresses_spark.io.table import TableStore
+
+    wh = str(tmp_path / "wh")
+    store = TableStore(wh)
+    store.write("layer_t", spark.range(10).toDF("id"))
+    store.write("layer_t", spark.range(2, 13).toDF("id"))  # drop 0,1; add 10-12
+
+    r = diff_stores(spark, wh, wh, tables=["layer_t"], version_a=1, version_b=2)
+    assert r["layer_t"]["only_a"] == 2 and r["layer_t"]["only_b"] == 3
+
+    r2 = diff_stores(spark, wh, wh, tables=["layer_t"], version_a=2, version_b=2)
+    assert is_clean(r2)
+
+    store.vacuum("layer_t", keep=1)
+    with pytest.raises(KeyError, match="no snapshot v1"):
+        diff_stores(spark, wh, wh, tables=["layer_t"], version_a=1, version_b=2)

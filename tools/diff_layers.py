@@ -127,13 +127,24 @@ def _comparable(df):
     return df.select(*cols)
 
 
-def diff_stores(spark, dir_a: str, dir_b: str, tables=None, sample: int = 3) -> dict:
+def diff_stores(
+    spark,
+    dir_a: str,
+    dir_b: str,
+    tables=None,
+    sample: int = 3,
+    version_a: int | None = None,
+    version_b: int | None = None,
+) -> dict:
     """→ {table: {"only_a": n, "only_b": n, "schema_match": bool,
     "sample_only_a": [...], "sample_only_b": [...]}}
 
     Both directories must be the same kind: two TableStores (parquet layer
     tables) or two SpatiaLite export dirs (osmi_addresses_*.sqlite —
-    geometry compared by decoded-coordinate equality)."""
+    geometry compared by decoded-coordinate equality). For TableStores,
+    `version_a`/`version_b` time-travel each side to a committed snapshot
+    — pass the SAME directory twice to diff two versions of one store
+    (e.g. pre- vs post-compaction, or yesterday's run vs today's)."""
     kind_a, kind_b = dir_kind(dir_a), dir_kind(dir_b)
     if kind_a != kind_b:
         raise ValueError(
@@ -141,6 +152,8 @@ def diff_stores(spark, dir_a: str, dir_b: str, tables=None, sample: int = 3) -> 
             f"({dir_a!r} vs {dir_b!r})"
         )
     if kind_a == "sqlite":
+        if version_a is not None or version_b is not None:
+            raise ValueError("snapshot versions apply only to TableStore dirs")
         return _diff_sqlite(spark, dir_a, dir_b, tables, sample)
     from osmi_addresses_spark.io.table import TableStore
 
@@ -151,14 +164,19 @@ def diff_stores(spark, dir_a: str, dir_b: str, tables=None, sample: int = 3) -> 
         entry: dict = {"schema_match": True, "only_a": 0, "only_b": 0}
         in_a, in_b = sa.exists(name), sb.exists(name)
         if not (in_a and in_b):
-            df = sa.read(spark, name) if in_a else sb.read(spark, name)
+            df = (
+                sa.read(spark, name, version_a)
+                if in_a
+                else sb.read(spark, name, version_b)
+            )
             n = df.count()
             entry["schema_match"] = False
             entry["only_a" if in_a else "only_b"] = n
             entry["missing_in"] = "b" if in_a else "a"
             report[name] = entry
             continue
-        da, db = sa.read(spark, name), sb.read(spark, name)
+        da = sa.read(spark, name, version_a)
+        db = sb.read(spark, name, version_b)
         if da.schema != db.schema:
             entry["schema_match"] = False
             entry["schema_a"] = da.schema.simpleString()
@@ -237,13 +255,24 @@ def main() -> int:
     ap.add_argument("--tables", default=None, help="comma-separated subset")
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     ap.add_argument("--sample", type=int, default=3)
+    ap.add_argument(
+        "--version-a", type=int, default=None,
+        help="time-travel side A to this committed snapshot (TableStore only)",
+    )
+    ap.add_argument(
+        "--version-b", type=int, default=None,
+        help="time-travel side B to this committed snapshot (TableStore only)",
+    )
     args = ap.parse_args()
 
     from osmi_addresses_spark.session import get_spark
 
     spark = get_spark("diff-layers", cores=args.cores)
     tables = args.tables.split(",") if args.tables else None
-    report = diff_stores(spark, args.dir_a, args.dir_b, tables, args.sample)
+    report = diff_stores(
+        spark, args.dir_a, args.dir_b, tables, args.sample,
+        version_a=args.version_a, version_b=args.version_b,
+    )
     print(json.dumps(report, indent=1, default=str))
     clean = is_clean(report)
     print(
