@@ -450,6 +450,52 @@ FROM s GROUP BY user_id, sess_idx
 """
 
 
+def q_window_lag_delta(spark, sf_dir):
+    """lag/lead window family (§2.5): per-user consecutive-event deltas —
+    previous event id, value delta, inter-event gap in exact integer
+    microseconds. One hash exchange on user_id + in-partition sort; first
+    events take -1/0 sentinels so no nullable column reaches the hash
+    (nullable bigint→float64 through pandas would destabilize it)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_id", F.lag("event_id").over(w))
+        .withColumn("prev_val", F.lag("value").over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            F.coalesce(F.col("prev_id"), F.lit(-1).cast("long")).alias(
+                "prev_event_id"
+            ),
+            F.round(
+                F.coalesce(F.col("value") - F.col("prev_val"), F.lit(0.0)), 4
+            ).alias("value_delta"),
+            F.coalesce(
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)"),
+                F.lit(-1).cast("long"),
+            ).alias("gap_us"),
+        )
+    )
+
+
+SQL_WINDOW_LAG_DELTA = """
+WITH x AS (
+  SELECT user_id, event_id, value, ts,
+         LAG(event_id) OVER w AS prev_id,
+         LAG(value) OVER w AS prev_val,
+         LAG(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       COALESCE(prev_id, -1) AS prev_event_id,
+       ROUND(COALESCE(value - prev_val, 0.0), 4) AS value_delta,
+       COALESCE(epoch_us(ts) - epoch_us(prev_ts), -1) AS gap_us
+FROM x
+"""
+
+
 def q_event_asof_join(spark, sf_dir):
     """As-of join (Spark has no native ASOF): for every 'click' event, the
     most recent 'view' by the same user at or before the click, ties on ts
@@ -1776,6 +1822,7 @@ def all_queries():
         "event_window_agg": q_event_window_agg,
         "event_sessionize": q_event_sessionize,
         "event_asof_join": q_event_asof_join,
+        "window_lag_delta": q_window_lag_delta,
         "groupby_rollup": q_groupby_rollup,
         "exceptall_diff": q_exceptall_diff,
         "geo_entity_counts": g_entity_counts,
@@ -1842,6 +1889,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "event_window_agg": SQL_EVENT_WINDOW_AGG,
         "event_sessionize": SQL_EVENT_SESSIONIZE,
         "event_asof_join": SQL_EVENT_ASOF_JOIN,
+        "window_lag_delta": SQL_WINDOW_LAG_DELTA,
         "groupby_rollup": SQL_GROUPBY_ROLLUP,
         "exceptall_diff": SQL_EXCEPTALL_DIFF,
         "geo_entity_counts": sql_entity_counts(fx),
