@@ -496,61 +496,50 @@ FROM x
 """
 
 
+_ASOF_OUT = [
+    ("left_id", "click_id"),
+    ("key", "user_id"),
+    ("right_id", "view_id"),
+    ("lag_us", "lag_us"),
+]
+
+
+def _asof_events(spark, sf_dir, bucketed: bool):
+    from .operators.asof import asof_join, asof_join_bucketed
+
+    e = _t(spark, sf_dir, "events")
+    l = e.filter(F.col("event_type") == "click")
+    r = e.filter(F.col("event_type") == "view")
+    fn = asof_join_bucketed if bucketed else asof_join
+    out = fn(l, r, key="user_id", ts="ts", idc="event_id")
+    return out.select(*[F.col(a).alias(b) for a, b in _ASOF_OUT])
+
+
 def q_event_asof_join(spark, sf_dir):
     """As-of join (Spark has no native ASOF): for every 'click' event, the
     most recent 'view' by the same user at or before the click, ties on ts
-    broken by largest event_id. Implemented as the scalable sort-merge
-    form — union both sides, ONE hash exchange on user_id, one in-partition
-    sort by (ts, side, event_id), then `last(..., ignorenulls)` over the
-    unbounded-preceding frame carries the latest right row forward. No
-    range-predicate join (which Spark would plan as a broadcast/cartesian
-    nested loop and explode at scale), no per-left-row subquery; cost is
-    the same as one window aggregation. Right rows sort BEFORE left rows
-    at equal ts (is_l ascending), which is exactly the inclusive <=
-    semantics. Clicks with no prior view keep NULL view columns."""
-    e = _t(spark, sf_dir, "events")
-    l = e.filter(F.col("event_type") == "click").select(
-        "user_id", "ts",
-        F.col("event_id").alias("l_id"),
-        F.lit(1).alias("is_l"),
-        F.lit(None).cast("long").alias("r_id"),
-        F.lit(None).cast("timestamp_ntz").alias("r_ts"),
-    )
-    r = e.filter(F.col("event_type") == "view").select(
-        "user_id", "ts",
-        F.lit(None).cast("long").alias("l_id"),
-        F.lit(0).alias("is_l"),
-        F.col("event_id").alias("r_id"),
-        F.col("ts").alias("r_ts"),
-    )
-    u = l.unionByName(r)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(
-            F.col("ts").asc(), F.col("is_l").asc(), F.col("r_id").asc_nulls_first()
-        )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    m = F.last(
-        F.when(F.col("is_l") == 0, F.struct("r_ts", "r_id")), ignorenulls=True
-    ).over(w)
-    return (
-        u.withColumn("_m", m)
-        .filter(F.col("is_l") == 1)
-        .select(
-            F.col("l_id").alias("click_id"),
-            "user_id",
-            # -1 sentinel for match-less clicks: keeps both engines' output
-            # columns integral (nullable BIGINT → float64 through pandas
-            # would make the driver's value hash type-unstable)
-            F.coalesce(F.col("_m.r_id"), F.lit(-1).cast("long")).alias("view_id"),
-            # exact integer microseconds (no float rounding to disagree on)
-            F.coalesce(
-                F.expr("timestampdiff(MICROSECOND, _m.r_ts, ts)"),
-                F.lit(-1).cast("long"),
-            ).alias("lag_us"),
-        )
-    )
+    broken by largest event_id. operators/asof.asof_join — the sort-merge
+    union form: ONE hash exchange on user_id, one in-partition sort by
+    (ts, side, event_id), then `last(..., ignorenulls)` over the
+    unbounded-preceding frame. No range-predicate join (which Spark would
+    plan as a broadcast/cartesian nested loop and explode at scale), no
+    per-left-row subquery. Right rows sort BEFORE left rows at equal ts —
+    exactly the inclusive <= semantics. -1 sentinels for match-less
+    clicks keep both engines' columns integral (nullable BIGINT → float64
+    through pandas would make the driver's value hash type-unstable); the
+    lag is exact integer microseconds (no float rounding to disagree
+    on)."""
+    return _asof_events(spark, sf_dir, bucketed=False)
+
+
+def q_event_asof_join_bucketed(spark, sf_dir):
+    """The skew-resilient two-level as-of form
+    (operators/asof.asof_join_bucketed): rows resolve within (user, day)
+    partitions, misses take the bucket carry — a per-bucket max aggregate
+    + running-max window over the bucket spine. Same oracle as
+    event_asof_join: the two plans are result-identical by construction,
+    and the driver gate hash-proves it."""
+    return _asof_events(spark, sf_dir, bucketed=True)
 
 
 SQL_EVENT_ASOF_JOIN = """
@@ -1822,6 +1811,7 @@ def all_queries():
         "event_window_agg": q_event_window_agg,
         "event_sessionize": q_event_sessionize,
         "event_asof_join": q_event_asof_join,
+        "event_asof_join_bucketed": q_event_asof_join_bucketed,
         "window_lag_delta": q_window_lag_delta,
         "groupby_rollup": q_groupby_rollup,
         "exceptall_diff": q_exceptall_diff,
@@ -1889,6 +1879,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "event_window_agg": SQL_EVENT_WINDOW_AGG,
         "event_sessionize": SQL_EVENT_SESSIONIZE,
         "event_asof_join": SQL_EVENT_ASOF_JOIN,
+        "event_asof_join_bucketed": SQL_EVENT_ASOF_JOIN,
         "window_lag_delta": SQL_WINDOW_LAG_DELTA,
         "groupby_rollup": SQL_GROUPBY_ROLLUP,
         "exceptall_diff": SQL_EXCEPTALL_DIFF,

@@ -480,3 +480,51 @@ def test_resize_buffers_matches_column_mirror(spark):
         resize_buffers(decoded, src=(8, 8), dst=(3, 3))
     with pytest.raises(ValueError, match="non-integer scale"):
         media_resize_col(F.col("media_ref"), 3)
+
+
+# -- as-of join: plain vs bucketed identity -------------------------------
+def test_asof_bucketed_matches_plain_on_skewed_data(spark):
+    """asof_join_bucketed == asof_join row-for-row, including on a hot key
+    whose history dwarfs every other key's, ties at the bucket boundary,
+    equal-timestamp ties, and left rows with no match at all."""
+    import datetime as dt
+
+    from osmi_addresses_spark.operators.asof import asof_join, asof_join_bucketed
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 3, 1)
+    # hot key 7: 4000 interleaved rows across ~6 days
+    for i in range(4000):
+        rows.append((eid, 7, base + dt.timedelta(minutes=2 * i),
+                     "click" if i % 3 == 0 else "view"))
+        eid += 1
+    # cold keys: sparse, some with clicks before any view (no match),
+    # some with a view exactly at midnight (bucket boundary) and a click
+    # the next instant, plus equal-ts click/view pairs
+    for k in range(20):
+        rows.append((eid, k, base + dt.timedelta(days=1), "click")); eid += 1
+        rows.append((eid, k, base + dt.timedelta(days=2), "view")); eid += 1
+        rows.append((eid, k, base + dt.timedelta(days=2), "click")); eid += 1
+        rows.append((eid, k, base + dt.timedelta(days=3), "click")); eid += 1
+    # boundary: view at exactly day 4 00:00, click one microsecond later
+    rows.append((eid, 99, dt.datetime(2024, 3, 4), "view")); eid += 1
+    rows.append((eid, 99, dt.datetime(2024, 3, 4, 0, 0, 0, 1), "click")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    l = df.filter("event_type = 'click'")
+    r = df.filter("event_type = 'view'")
+    plain = {tuple(x) for x in
+             asof_join(l, r, "user_id", "ts", "event_id").collect()}
+    bucketed = {tuple(x) for x in
+                asof_join_bucketed(l, r, "user_id", "ts", "event_id").collect()}
+    assert plain == bucketed and len(plain) == l.count()
+    # the no-match sentinel path is actually exercised, and so is the
+    # carry path (cold keys' day-3 clicks match their day-2 views)
+    assert any(t[2] == -1 for t in plain)
+    assert any(t[1] < 20 and t[3] == 86_400_000_000 for t in plain)
+    # bucket-start truncation edge: view exactly at 00:00 is in the same
+    # bucket as the click one microsecond later
+    boundary = [t for t in plain if t[1] == 99]
+    assert boundary and boundary[0][3] == 1  # 1 microsecond lag
