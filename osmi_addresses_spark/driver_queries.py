@@ -1859,6 +1859,11 @@ def all_queries():
         "geo_interp_errors": g_interp_errors,
         "dedup_stream_stateful": d_stream_dedup,
         "event_stream_interval_join": q_stream_interval_join,
+        "approx_distinct_hll": q_hll_distinct,
+        "bloom_semi_join": q_bloom_semi_join,
+        "graph_pagerank": q_pagerank,
+        "text_tfidf_topk": t_tfidf_topk,
+        "sample_stratified": t_sample_stratified,
     }
     return qs
 
@@ -1927,6 +1932,11 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "geo_interp_errors": sql_interp_errors(fx),
         "dedup_stream_stateful": SQL_STREAM_DEDUP,
         "event_stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
+        "approx_distinct_hll": sql_hll_distinct(),
+        "bloom_semi_join": sql_bloom_semi_join(),
+        "graph_pagerank": sql_pagerank(),
+        "text_tfidf_topk": SQL_TFIDF_TOPK,
+        "sample_stratified": sql_sample_stratified(),
     }
 
 
@@ -3019,4 +3029,277 @@ FROM events c JOIN events v
   ON v.user_id = c.user_id
  AND c.event_type = 'click' AND v.event_type = 'view'
  AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+"""
+
+
+# -- deterministic sketches (operators/sketch.py) --------------------------
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Approximate distinct parts per return flag via deterministic
+    HyperLogLog (p=8, md5-derived registers) NEXT TO the exact count — the
+    rare approximate operator that is still value-hash gateable, because
+    the oracle computes the identical registers and estimator arithmetic.
+    Scale: sketch state is ≤ groups×256 integer registers regardless of
+    input rows, both aggregates map-side combined — one O(256)-row shuffle
+    per group where exact COUNT(DISTINCT) shuffles every distinct value."""
+    from .operators.sketch import hll_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = hll_distinct(li, ["l_returnflag"], "l_partkey", p=8)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_cnt")
+    )
+    return exact.join(est, "l_returnflag").select(
+        "l_returnflag",
+        "exact_cnt",
+        F.round(F.col("hll_est"), 4).alias("hll_est_r"),
+    )
+
+
+def sql_hll_distinct() -> str:
+    from .operators.sketch import hll_sql
+
+    return (
+        "WITH "
+        + hll_sql("lineitem", ["l_returnflag"], "l_partkey", p=8).lstrip()
+        + """,
+exact AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT e.l_returnflag, e.exact_cnt,
+       round(CAST(h.hll_est AS DOUBLE), 4) AS hll_est_r
+FROM exact e JOIN hll_est h USING (l_returnflag)
+"""
+    )
+
+
+def q_bloom_semi_join(spark, sf_dir):
+    """Bloom-prefiltered semi-join: lineitem rows whose l_partkey MIGHT be
+    in the small-parts build side (p_size ≤ 5), m=8192 bits / k=3 md5
+    hashes, aggregated per return flag with the (deterministic) false-
+    positive count broken out. The probe table is never shuffled: the set
+    bits broadcast and membership is k chained broadcast LEFT SEMI joins —
+    the build-side-prefilter pattern a 100 TB scan wants before an
+    expensive join."""
+    from .operators.sketch import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    build = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    passed = bloom_semi_join(li, "l_partkey", build, "p_partkey", m_bits=8192, k=3)
+    truth = (
+        build.select(F.col("p_partkey").alias("l_partkey"))
+        .distinct()
+        .withColumn("_in_build", F.lit(1))
+    )
+    flagged = passed.join(F.broadcast(truth), "l_partkey", "left")
+    return flagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_pass"),
+        F.count(F.when(F.col("_in_build").isNotNull(), 1)).alias("n_member"),
+        F.count(F.when(F.col("_in_build").isNull(), 1)).alias("n_false_pos"),
+    )
+
+
+def sql_bloom_semi_join() -> str:
+    from .operators.sketch import bloom_sql_ctes
+
+    ctes = bloom_sql_ctes(
+        "build", "p_partkey", "lineitem", "l_partkey", m_bits=8192, k=3
+    ).lstrip()
+    return (
+        "WITH build AS (SELECT p_partkey FROM part WHERE p_size <= 5),\n"
+        + ctes
+        + """
+SELECT l_returnflag,
+       COUNT(*) AS n_pass,
+       COUNT(*) FILTER (WHERE l_partkey IN (SELECT p_partkey FROM build)) AS n_member,
+       COUNT(*) FILTER (WHERE l_partkey NOT IN (SELECT p_partkey FROM build)) AS n_false_pos
+FROM bloom_pass GROUP BY 1
+"""
+    )
+
+
+# -- fixed-iteration PageRank (operators/graph.py) -------------------------
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank (d=0.85, exactly 5 synchronous iterations from uniform
+    init) over the customer↔supplier trade graph: an edge each way per
+    distinct (customer, supplier) trading pair from orders⋈lineitem.
+    Customers with no orders have no out-edges → the dangling-mass
+    redistribution path is exercised. Fixed iteration count makes the
+    result a deterministic function of the graph, so the DuckDB oracle
+    unrolls the same 5 steps and value-matches at 8 dp."""
+    from .operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("cu"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("su"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("cu AS src", "su AS dst").unionByName(
+        pairs.selectExpr("su AS src", "cu AS dst")
+    )
+    verts = (
+        _t(spark, sf_dir, "customer")
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("v"))
+        .unionByName(
+            _t(spark, sf_dir, "supplier").select(
+                F.concat(F.lit("s:"), F.col("s_suppkey")).alias("v")
+            )
+        )
+    )
+    pr = pagerank(verts, edges, iters=5, damping=0.85)
+    out = pr.select("v", F.round("pr", 8).alias("pr_r"))
+    return out
+
+
+def sql_pagerank(iters: int = 5) -> str:
+    ctes = [
+        """verts AS (
+  SELECT 'c:' || c_custkey AS v FROM customer
+  UNION ALL SELECT 's:' || s_suppkey FROM supplier
+), pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS cu, 's:' || l_suppkey AS su
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT cu AS src, su AS dst FROM pairs
+  UNION ALL SELECT su, cu FROM pairs
+), outdeg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts
+), r0 AS (
+  SELECT v, 1.0 / nn.n AS pr FROM verts, nn
+)"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""d{i} AS (
+  SELECT COALESCE(SUM(pr), 0.0) AS m FROM {p}
+  WHERE v NOT IN (SELECT src FROM outdeg)
+), c{i} AS (
+  SELECT e.dst AS v, SUM(r.pr / od.deg) AS c
+  FROM {p} r JOIN outdeg od ON od.src = r.v JOIN edges e ON e.src = r.v
+  GROUP BY 1
+), r{i} AS (
+  SELECT vv.v,
+         (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c.c, 0.0) + d{i}.m / nn.n) AS pr
+  FROM verts vv CROSS JOIN nn CROSS JOIN d{i}
+  LEFT JOIN c{i} c ON c.v = vv.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v, round(pr, 8) AS pr_r FROM r{iters}\n"
+    )
+
+
+# -- TF-IDF top terms + deterministic stratified sampling ------------------
+
+
+def t_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (terms = [a-z]{3,} runs of the
+    lowercased text). The idf is carried in integer micro-units
+    (floor(ln((N+1)/(df+1))·1e6 + 0.5) + 1e6) so the ranking key
+    tf·idf_micro is an exact cross-engine integer; ties break on term.
+    Shuffle profile: two map-side-combined hash aggs (tf per (doc, term),
+    df per term) + one per-doc window — nothing holds unbounded state."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_micro = (
+        F.floor(
+            F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1))) * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        + F.lit(1000000)
+    ).cast("long")
+    scored = tf.join(dfreq, "term").select(
+        "doc_id", "term", "tf", "df", (F.col("tf") * idf_micro).alias("score_micro")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "rn", "tf", "df", "score_micro")
+    )
+
+
+SQL_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) WHERE length(t) >= 3
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * (CAST(floor(
+             ln(((SELECT COUNT(*) FROM documents) + 1.0) / (dfreq.df + 1)) * 1e6
+             + 0.5) AS BIGINT) + 1000000) AS score_micro
+  FROM tf JOIN dfreq USING (term)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, rn, tf, df, score_micro FROM ranked WHERE rn <= 3
+"""
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125, "zh": 0.125}
+
+
+def t_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum Bernoulli sampling: keep a doc iff the
+    first 32 md5 bits of its doc_id fall below rate(lang)·2³² — the
+    thresholds are precomputed integer literals, so the decision is pure
+    integer compare (no fp, no RNG state), reproducible across engines,
+    runs, and cluster sizes, and executes as a JVM scan filter with zero
+    shuffle. The training-pipeline staple for downsampling over-represented
+    strata while keeping the sample stable under re-runs."""
+    docs = _t(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    thr = F.lit(0)
+    for lang, rate in sorted(_SAMPLE_RATES.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(int(rate * 2**32))).otherwise(thr)
+    return (
+        docs.select("doc_id", "lang", u32.alias("sample_key"))
+        .filter(F.col("sample_key") < thr)
+    )
+
+
+def sql_sample_stratified() -> str:
+    cases = "\n         ".join(
+        f"WHEN '{lang}' THEN {int(rate * 2**32)}"
+        for lang, rate in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang,
+       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS sample_key
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) <
+      CASE lang {cases} ELSE 0 END
 """

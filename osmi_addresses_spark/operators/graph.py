@@ -94,3 +94,93 @@ def connected_components(
     out.count()  # materialize before dropping the cached edge list
     e.unpersist()
     return out
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    v_col: str = "v",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    reliable_checkpoint: bool | None = None,
+) -> DataFrame:
+    """→ (v, pr): PageRank after exactly ``iters`` synchronous iterations
+    from the uniform init 1/N, damping d. Directed edges (deduped here);
+    dangling-vertex mass (no out-edges) is redistributed uniformly each
+    iteration, so Σpr stays 1. A FIXED iteration count — not a convergence
+    test — makes the result a deterministic function of the graph alone,
+    which is what lets the DuckDB oracle unroll the same ``iters`` steps and
+    value-match it (driver query `graph_pagerank`).
+
+    Update, written identically in engine and oracle so the fp ops agree:
+        pr'(v) = (1-d)/N + d * ( Σ_{u→v} pr(u)/outdeg(u) + dangling/N )
+
+    Scale: each iteration is one hash join ranks⋈edges on src (edges are
+    persisted so only the O(N)-row rank state moves) + one map-side-combined
+    sum on dst; the dangling mass is a single-scalar driver reduce. Rank
+    lineage is checkpoint-truncated per round exactly as in
+    connected_components (same executor-loss caveat and opt-in)."""
+    v = vertices.select(F.col(v_col).alias("k")).distinct()
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+
+    sc = vertices.sparkSession.sparkContext
+    if reliable_checkpoint is None:
+        reliable_checkpoint = sc.getCheckpointDir() is not None
+    if reliable_checkpoint and sc.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable_checkpoint=True requires "
+            "spark.sparkContext.setCheckpointDir(<fault-tolerant path>)"
+        )
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable_checkpoint else df.localCheckpoint(
+            eager=True
+        )
+
+    n = v.count()
+    if n == 0:
+        e.unpersist()
+        outdeg.unpersist()
+        return v.select(F.col("k").alias("v"), F.lit(0.0).alias("pr"))
+    base = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n))
+    ranks = ckpt(v.select("k", (F.lit(1.0) / F.lit(float(n))).alias("pr")))
+    for _ in range(iters):
+        r_od = ranks.join(outdeg, ranks.k == outdeg.src, "left").select(
+            "k", "pr", "deg"
+        )
+        dang = (
+            r_od.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        contrib = (
+            r_od.filter(F.col("deg").isNotNull())
+            .join(e, F.col("k") == e.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        ranks = ckpt(
+            v.join(contrib, v.k == contrib.dst, "left").select(
+                "k",
+                (
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.lit(dang) / F.lit(float(n))
+                    )
+                ).alias("pr"),
+            )
+        )
+    out = ranks.select(F.col("k").alias("v"), "pr").persist()
+    out.count()
+    e.unpersist()
+    outdeg.unpersist()
+    return out

@@ -1,0 +1,204 @@
+"""Deterministic distributed sketches — HyperLogLog approximate distinct
+counting and a Bloom-filter semi-join prefilter.
+
+Both sketches derive every hash from md5, so the identical register / bit
+values are computable in ANSI SQL: the DuckDB oracle reproduces not just a
+statistically-close answer but the exact same estimate, making these the
+rare *approximate* operators that are still value-hash gateable.
+
+Scale properties (the reason a 100 TB pipeline wants sketches at all):
+
+- HLL: the aggregation state is bounded by (groups × 2^p) integer registers
+  regardless of input row count, and both aggregates (per-bucket register
+  max, per-group register fold) are map-side combined — one shuffle of
+  O(2^p) rows per group where exact COUNT(DISTINCT) shuffles every distinct
+  value.
+- Bloom: the build side collapses to ≤ min(k·|build|, m_bits) distinct bit
+  positions — small enough to broadcast — and the probe side is filtered by
+  k chained broadcast LEFT SEMI joins, so the big table is never shuffled.
+  False positives are deterministic (same md5 bits in engine and oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007), md5-derived hash, p-bit bucket index.
+# --------------------------------------------------------------------------
+
+
+def _hll_hash_cols(value: Column, p: int) -> tuple[Column, Column]:
+    """(bucket, rho): bucket = first p bits of md5 (taken from leading hex
+    chars, p must be a multiple of 4); rho = 1 + number of leading zeros in
+    the next 48 hash bits (so rho ∈ [1, 49]; the all-zero tail maps to 49).
+
+    `length(bin(v))` is the portable bit-length idiom: Spark's `bin` and
+    DuckDB's `bin` both render without leading zeros."""
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError("p must be a multiple of 4 in [4, 16]")
+    h = F.md5(F.encode(value.cast("string"), "utf-8"))
+    bucket = F.conv(F.substring(h, 1, p // 4), 16, 10).cast("int")
+    v48 = F.conv(F.substring(h, p // 4 + 1, 12), 16, 10).cast("long")
+    rho = F.when(v48 == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(v48)))
+    return bucket, rho
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 8
+) -> DataFrame:
+    """Per-(group, bucket) register values: max rho seen in the bucket.
+    Absent buckets (register 0) are NOT materialized — `hll_estimate`
+    accounts for them arithmetically."""
+    bucket, rho = _hll_hash_cols(F.col(value_col), p)
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+    alias: str = "hll_est",
+) -> DataFrame:
+    """Per-group HLL distinct-count estimate (double, un-rounded).
+
+    Standard estimator: E = α_m · m² / Σ_j 2^(−M_j) over all m = 2^p
+    buckets (absent bucket ⇒ M_j = 0 ⇒ term 1), with the linear-counting
+    small-range correction E ≤ 2.5m ∧ V>0 ⇒ m·ln(m/V) where V = number of
+    zero registers. Every fp term is a power of two (exact), so the only
+    cross-engine nondeterminism is last-ulp summation order — callers round
+    the estimate (4 dp is far coarser than the ~1e-12 drift)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    regs = hll_registers(df, group_cols, value_col, p)
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_zsum_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    zsum = F.col("_zsum_present") + (F.lit(m) - F.col("_n_present"))
+    zeros = F.lit(m) - F.col("_n_present")
+    raw = F.lit(alpha) * F.lit(float(m * m)) / zsum
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias(alias))
+
+
+def hll_sql(
+    table_expr: str, group_cols: list[str], value_expr: str, p: int = 8
+) -> str:
+    """DuckDB CTE chain mirroring hll_distinct exactly (same md5 bits, same
+    estimator arithmetic). Returns SQL selecting group_cols + hll_est."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    g = ", ".join(group_cols)
+    # bare fp literals bind as DECIMAL in DuckDB (overflowing decimal
+    # multiplies); force the same IEEE-double arithmetic the engine uses
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    m2 = f"CAST({float(m * m)!r} AS DOUBLE)"
+    c25 = f"CAST({2.5 * m!r} AS DOUBLE)"
+    md = f"CAST({float(m)!r} AS DOUBLE)"
+    return f"""
+hll_h AS (
+  SELECT {g}, md5(CAST({value_expr} AS VARCHAR)) AS h FROM {table_expr}
+), hll_regs AS (
+  SELECT {g},
+         CAST('0x' || substr(h, 1, {p // 4}) AS INT) AS bucket,
+         MAX(CASE WHEN CAST('0x' || substr(h, {p // 4 + 1}, 12) AS BIGINT) = 0
+                  THEN 49
+                  ELSE 49 - length(bin(CAST('0x' || substr(h, {p // 4 + 1}, 12) AS BIGINT)))
+             END) AS reg
+  FROM hll_h GROUP BY {g}, bucket
+), hll_est AS (
+  SELECT {g},
+         CASE WHEN ({a} * {m2} / (SUM(pow(2.0, -reg)) + ({m} - COUNT(*)))) <= {c25}
+                   AND ({m} - COUNT(*)) > 0
+              THEN {md} * ln({md} / ({m} - COUNT(*)))
+              ELSE {a} * {m2} / (SUM(pow(2.0, -reg)) + ({m} - COUNT(*)))
+         END AS hll_est
+  FROM hll_regs GROUP BY {g}
+)"""
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join prefilter.
+# --------------------------------------------------------------------------
+
+
+def bloom_positions(value: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit positions for a value: k disjoint 32-bit slices of its md5,
+    each reduced mod m_bits (needs k ≤ 4 slices of the 128-bit digest)."""
+    if not 1 <= k <= 4:
+        raise ValueError("k must be in [1, 4] (md5 yields four 32-bit slices)")
+    h = F.md5(F.encode(value.cast("string"), "utf-8"))
+    return [
+        (F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits)
+        for i in range(k)
+    ]
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    m_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Rows of `probe` whose key MIGHT be in `build` (classic Bloom
+    semantics: no false negatives; deterministic md5 false positives).
+
+    The set bits (union of the build side's k positions, deduped — at most
+    min(k·|build|, m_bits) rows) are broadcast; membership of all k probe
+    positions is tested by k chained broadcast LEFT SEMI joins, so the
+    probe side never shuffles and nothing is collected to the driver."""
+    bits = None
+    for pos in bloom_positions(F.col(build_key), m_bits, k):
+        part = build.select(pos.alias("bit"))
+        bits = part if bits is None else bits.unionByName(part)
+    bits = bits.distinct()
+    probe_pos = bloom_positions(F.col(probe_key), m_bits, k)
+    out = probe.select(
+        "*", *[p.alias(f"_bloom_p{i}") for i, p in enumerate(probe_pos)]
+    )
+    for i in range(k):
+        out = out.join(
+            F.broadcast(bits.withColumnRenamed("bit", f"_bloom_b{i}")),
+            on=F.col(f"_bloom_p{i}") == F.col(f"_bloom_b{i}"),
+            how="left_semi",
+        )
+    return out.drop(*[f"_bloom_p{i}" for i in range(k)])
+
+
+def bloom_sql_ctes(
+    build_table: str, build_key: str, probe_table: str, probe_key: str,
+    m_bits: int = 8192, k: int = 3,
+) -> str:
+    """DuckDB CTEs mirroring bloom_semi_join: `bloom_bits` (set bits) and
+    `bloom_pass` (probe rows passing all k membership tests)."""
+
+    def pos(key: str, i: int) -> str:
+        return (
+            f"(CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), {1 + 8 * i}, 8)"
+            f" AS BIGINT) % {m_bits})"
+        )
+
+    bits = "\n    UNION\n    ".join(
+        f"SELECT {pos(build_key, i)} AS bit FROM {build_table}" for i in range(k)
+    )
+    tests = " AND ".join(
+        f"{pos(probe_key, i)} IN (SELECT bit FROM bloom_bits)" for i in range(k)
+    )
+    return f"""
+bloom_bits AS (
+    {bits}
+), bloom_pass AS (
+  SELECT * FROM {probe_table} WHERE {tests}
+)"""

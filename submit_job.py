@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""spark-submit entry point for the full layer pipeline.
+r"""spark-submit entry point for the full layer pipeline.
 
 Usage (cluster):
     python package.py                       # builds dist/osmi_addresses_spark.zip

@@ -1,0 +1,108 @@
+"""Unit tests for the deterministic sketches (operators/sketch.py) and
+fixed-iteration PageRank (operators/graph.pagerank) — semantics beyond what
+the driver oracle rows (approx_distinct_hll / bloom_semi_join /
+graph_pagerank / sample_stratified) already hash-prove."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmi_addresses_spark.operators.graph import pagerank
+from osmi_addresses_spark.operators.sketch import (
+    bloom_semi_join,
+    hll_distinct,
+    hll_registers,
+)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # 5k distinct values, p=8 → standard error 1.04/sqrt(256) ≈ 6.5%;
+    # assert a generous 3-sigma bound. Duplicates must not move the sketch.
+    df = spark.range(5000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
+    )
+    dups = df.unionByName(df.limit(1234))
+    est = hll_distinct(dups, ["grp"], "v", p=8).collect()[0]["hll_est"]
+    assert abs(est - 5000) / 5000 < 0.20
+    # duplicate-insensitivity: registers identical with and without dups
+    r1 = sorted(
+        (r["bucket"], r["reg"]) for r in hll_registers(df, ["grp"], "v").collect()
+    )
+    r2 = sorted(
+        (r["bucket"], r["reg"]) for r in hll_registers(dups, ["grp"], "v").collect()
+    )
+    assert r1 == r2
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 10 distinct values → E ≤ 2.5m with zero registers present: the
+    # linear-counting branch must engage and be near-exact.
+    df = spark.range(10).select(F.lit("g").alias("grp"), F.col("id").alias("v"))
+    est = hll_distinct(df, ["grp"], "v", p=8).collect()[0]["hll_est"]
+    assert abs(est - 10) < 1.5
+
+
+def test_hll_rejects_bad_p(spark):
+    df = spark.range(4).select(F.lit("g").alias("grp"), F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        hll_distinct(df, ["grp"], "v", p=7)
+
+
+def test_bloom_no_false_negatives_and_deterministic(spark):
+    build = spark.range(0, 200).select(F.col("id").alias("k"))
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))
+    passed = bloom_semi_join(probe, "k", build, "k", m_bits=4096, k=3)
+    got = {r["k"] for r in passed.collect()}
+    # every true member passes
+    assert set(range(200)) <= got
+    # false-positive rate sane for m=4096,k=3,n=200: (1-e^{-kn/m})^k ≈ 0.2%
+    fp = len(got) - 200
+    assert fp <= 0.02 * 1800, f"{fp} false positives"
+    # identical on a re-run (md5, not RNG)
+    got2 = {r["k"] for r in bloom_semi_join(probe, "k", build, "k", m_bits=4096, k=3).collect()}
+    assert got == got2
+    # probe schema preserved (no helper columns leak)
+    assert passed.columns == ["k"]
+
+
+def _pagerank_numpy(n, edges, iters=5, d=0.85):
+    """Dense reference: synchronous updates, dangling mass uniform."""
+    import numpy as np
+
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        dang = sum(pr[v] for v in range(n) if v not in out)
+        for s, ts in out.items():
+            share = pr[s] / len(ts)
+            for t in ts:
+                nxt[t] += d * share
+        nxt += d * dang / n
+        pr = nxt
+    return pr
+
+
+def test_pagerank_matches_dense_reference(spark):
+    # 6 vertices: a cycle 0→1→2→0, 3→0, 4 dangling, 5 isolated sink of 3
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (3, 5)]
+    v = spark.createDataFrame([(i,) for i in range(6)], ["v"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["v"]: r["pr"] for r in pagerank(v, e, iters=5, damping=0.85).collect()}
+    want = _pagerank_numpy(6, edges)
+    for i in range(6):
+        assert got[i] == pytest.approx(want[i], abs=1e-12), i
+    # mass conserved
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+def test_pagerank_empty_graph(spark):
+    v = spark.createDataFrame([(1,), (2,)], ["v"])
+    e = spark.createDataFrame([], "src long, dst long")
+    got = {r["v"]: r["pr"] for r in pagerank(v, e, iters=3).collect()}
+    # all mass dangling every round → stays uniform
+    assert got[1] == pytest.approx(0.5, abs=1e-12)
+    assert got[2] == pytest.approx(0.5, abs=1e-12)
