@@ -1864,6 +1864,8 @@ def all_queries():
         "graph_pagerank": q_pagerank,
         "text_tfidf_topk": t_tfidf_topk,
         "sample_stratified": t_sample_stratified,
+        "heavy_hitters_cms": d_heavy_hitters,
+        "sample_weighted": t_sample_weighted,
     }
     return qs
 
@@ -1937,6 +1939,8 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "graph_pagerank": sql_pagerank(),
         "text_tfidf_topk": SQL_TFIDF_TOPK,
         "sample_stratified": sql_sample_stratified(),
+        "heavy_hitters_cms": sql_heavy_hitters(),
+        "sample_weighted": SQL_SAMPLE_WEIGHTED,
     }
 
 
@@ -3302,4 +3306,103 @@ SELECT doc_id, lang,
 FROM documents
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) <
       CASE lang {cases} ELSE 0 END
+"""
+
+
+_TOKS_CTE = """toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) WHERE length(t) >= 3
+)"""
+
+
+def d_heavy_hitters(spark, sf_dir):
+    """Heavy hitters via count-min sketch (d=4 rows × w=1024 counters, md5
+    row hashes) checked against the exact counts for the true top-20 terms.
+    Like the HLL row, the sketch is deterministic: the oracle computes the
+    identical counters, so even the over-estimates value-match. Scale: the
+    counter state is ≤ 4096 rows regardless of corpus size (map-side
+    combined), and point queries broadcast the counter table — the
+    streaming-friendly way to track hot keys at 100 TB."""
+    from .operators.sketch import cms_counters, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.length("term") >= 3)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("term")).limit(20)
+    counters = cms_counters(toks, "term", d=4, w=1024)
+    est = cms_estimate(top.select("term"), counters, "term", d=4, w=1024)
+    return top.join(est, "term").select("term", "exact_cnt", "cms_est")
+
+
+def sql_heavy_hitters(d: int = 4, w: int = 1024) -> str:
+    from .operators.sketch import cms_sql_ctes
+
+    probes = "\n    UNION ALL\n    ".join(
+        f"SELECT term, {r} AS row, (CAST('0x' || substr(md5(CAST(term AS VARCHAR)),"
+        f" {1 + 8 * r}, 8) AS BIGINT) % {w}) AS col FROM top"
+        for r in range(d)
+    )
+    return (
+        "WITH "
+        + _TOKS_CTE
+        + ","
+        + cms_sql_ctes("toks", "term", d=d, w=w).lstrip().rstrip()
+        + f""",
+exact AS (
+  SELECT term, COUNT(*) AS exact_cnt FROM toks GROUP BY 1
+), top AS (
+  SELECT * FROM exact ORDER BY exact_cnt DESC, term ASC LIMIT 20
+), probes AS (
+    {probes}
+), est AS (
+  SELECT p.term, MIN(COALESCE(c.cnt, 0)) AS cms_est
+  FROM probes p LEFT JOIN cms_counters c ON c.row = p.row AND c.col = p.col
+  GROUP BY 1
+)
+SELECT t.term, t.exact_cnt, e.cms_est FROM top t JOIN est e USING (term)
+"""
+    )
+
+
+def t_sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): per-language top-5 docs ranked by ln(u)/weight, u = the
+    doc's md5-uniform in (0,1], weight = n_chars — selection probability ∝
+    weight, md5 replacing the RNG so the draw reproduces across engines,
+    runs, and cluster sizes. u is exact in fp (integer / 2³²), the key is
+    never output, and ties break on doc_id, so nothing fp-fragile reaches
+    the hash gate. One per-stratum window; no driver state."""
+    docs = _t(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (u32 + F.lit(1.0)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", key.alias("key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "rn")
+    )
+
+
+SQL_SAMPLE_WEIGHTED = """
+WITH keyed AS (
+  SELECT lang, doc_id,
+         ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+             + CAST(1.0 AS DOUBLE)) / CAST(4294967296.0 AS DOUBLE)) / n_chars AS key
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT lang, doc_id, rn FROM ranked WHERE rn <= 5
 """

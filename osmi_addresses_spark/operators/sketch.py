@@ -128,6 +128,81 @@ hll_h AS (
 
 
 # --------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005), md5-derived row hashes.
+# --------------------------------------------------------------------------
+
+
+def _cms_col(value: Column, row: int, w: int) -> Column:
+    """Column index of `value` in CMS row `row`: the row-th disjoint 32-bit
+    md5 slice mod w (requires d ≤ 4 rows)."""
+    h = F.md5(F.encode(value.cast("string"), "utf-8"))
+    return F.conv(F.substring(h, 1 + 8 * row, 8), 16, 10).cast("long") % w
+
+
+def cms_counters(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """The full count-min sketch as a (row, col, cnt) DataFrame: each input
+    occurrence increments one counter per row. State is ≤ d·w rows no
+    matter the input size (the whole point of a sketch at 100 TB), and the
+    count aggregate is map-side combined — one O(d·w) shuffle total."""
+    if not 1 <= d <= 4:
+        raise ValueError("d must be in [1, 4] (md5 yields four 32-bit slices)")
+    rows = None
+    for r in range(d):
+        part = df.select(
+            F.lit(r).alias("row"), _cms_col(F.col(value_col), r, w).alias("col")
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    items: DataFrame,
+    counters: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+    alias: str = "cms_est",
+) -> DataFrame:
+    """Point-query the sketch for each row of `items`: est = min over the d
+    rows of that value's counter (≥ true count, never under). The counter
+    table (≤ d·w rows) is broadcast, so querying any number of items costs
+    no shuffle of the items themselves beyond the final per-item min agg."""
+    probes = None
+    for r in range(d):
+        part = items.select(
+            F.col(value_col),
+            F.lit(r).alias("row"),
+            _cms_col(F.col(value_col), r, w).alias("col"),
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    joined = probes.join(F.broadcast(counters), ["row", "col"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(alias)
+    )
+
+
+def cms_sql_ctes(
+    source_cte: str, value_expr: str, d: int = 4, w: int = 1024
+) -> str:
+    """DuckDB CTEs mirroring cms_counters exactly: `cms_counters(row, col,
+    cnt)` over the rows of `source_cte` (one value per row via
+    `value_expr`)."""
+    slices = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS row, (CAST('0x' || substr(md5(CAST({value_expr} AS VARCHAR)),"
+        f" {1 + 8 * r}, 8) AS BIGINT) % {w}) AS col FROM {source_cte}"
+        for r in range(d)
+    )
+    return f"""
+cms_counters AS (
+  SELECT row, col, COUNT(*) AS cnt FROM (
+    {slices}
+  ) GROUP BY 1, 2
+)"""
+
+
+# --------------------------------------------------------------------------
 # Bloom-filter semi-join prefilter.
 # --------------------------------------------------------------------------
 
@@ -159,6 +234,10 @@ def bloom_semi_join(
     min(k·|build|, m_bits) rows) are broadcast; membership of all k probe
     positions is tested by k chained broadcast LEFT SEMI joins, so the
     probe side never shuffles and nothing is collected to the driver."""
+    reserved = {f"_bloom_p{i}" for i in range(k)}
+    clash = reserved & set(probe.columns)
+    if clash:
+        raise ValueError(f"probe columns collide with bloom helpers: {sorted(clash)}")
     bits = None
     for pos in bloom_positions(F.col(build_key), m_bits, k):
         part = build.select(pos.alias("bit"))
