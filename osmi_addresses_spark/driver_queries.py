@@ -1866,6 +1866,7 @@ def all_queries():
         "sample_stratified": t_sample_stratified,
         "heavy_hitters_cms": d_heavy_hitters,
         "sample_weighted": t_sample_weighted,
+        "approx_distinct_stream": q_hll_stream,
     }
     return qs
 
@@ -1941,6 +1942,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "sample_stratified": sql_sample_stratified(),
         "heavy_hitters_cms": sql_heavy_hitters(),
         "sample_weighted": SQL_SAMPLE_WEIGHTED,
+        "approx_distinct_stream": sql_hll_stream(),
     }
 
 
@@ -3406,3 +3408,67 @@ WITH keyed AS (
 )
 SELECT lang, doc_id, rn FROM ranked WHERE rn <= 5
 """
+
+
+def q_hll_stream(spark, sf_dir):
+    """Streaming HLL distinct: the SAME hll_registers operator (pure
+    select + groupBy + max — no batch-only constructs) run over an
+    availableNow stream of the events table, complete-mode aggregated into
+    a memory sink, estimated from the final registers. Because the sketch
+    is deterministic and mergeable, the stream's final registers equal the
+    batch sketch and the estimate value-matches the same SQL oracle — the
+    production shape for 'distinct users per event type, continuously':
+    streaming-agg state bounded at groups×256 registers forever.
+    Cross-batch state recovery (two file drops, one checkpoint) is pinned
+    by tests/test_sketch_graph.py::test_stream_hll_across_batches."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.sketch import hll_estimate_from_registers, hll_registers
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    tmp = tempfile.mkdtemp(prefix="osmi_shll_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src, ck = (os.path.join(tmp, x) for x in ("src", "ck"))
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    regs = hll_registers(stream, ["event_type"], "user_id", p=8)
+    qname = "hll_stream_" + os.path.basename(tmp).replace("osmi_shll_", "")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ck)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_hll did not drain within 300s")
+    est = hll_estimate_from_registers(spark.table(qname), ["event_type"], p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "exact_users", F.round("hll_est", 4).alias("hll_est_r")
+    )
+
+
+def sql_hll_stream() -> str:
+    from .operators.sketch import hll_sql
+
+    return (
+        "WITH "
+        + hll_sql("events", ["event_type"], "user_id", p=8).lstrip()
+        + """,
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, e.exact_users,
+       round(CAST(h.hll_est AS DOUBLE), 4) AS hll_est_r
+FROM exact e JOIN hll_est h USING (event_type)
+"""
+    )

@@ -207,3 +207,41 @@ def test_cms_merge_equals_multiset_union(spark):
     direct = cms_counters(a.unionByName(b), "v", d=2, w=64)
     as_set = lambda df: {(r["row"], r["col"], r["cnt"]) for r in df.collect()}
     assert as_set(merged) == as_set(direct)
+
+
+def test_stream_hll_across_batches(spark, tmp_path):
+    # two file drops, one checkpoint: complete-mode streaming agg must
+    # carry register state across restarts and end bit-identical to the
+    # batch sketch of the union.
+    import os
+
+    from osmi_addresses_spark.operators.sketch import hll_registers
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    a = spark.range(0, 400).select(F.lit("t").alias("g"), F.col("id").alias("v"))
+    b = spark.range(300, 900).select(F.lit("t").alias("g"), F.col("id").alias("v"))
+    a.write.parquet(src)
+
+    def drain(qname):
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = (
+            hll_registers(stream, ["g"], "v")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ck)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain("shll_run1")
+    b.write.mode("append").parquet(src)
+    drain("shll_run2")
+    got = {(r["bucket"], r["reg"]) for r in spark.table("shll_run2").collect()}
+    want = {
+        (r["bucket"], r["reg"])
+        for r in hll_registers(a.unionByName(b), ["g"], "v").collect()
+    }
+    assert got == want
