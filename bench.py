@@ -137,6 +137,20 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
         counts["tile_rollup_tiles"] = timed_min(
             "tile_rollup", lambda: tile_pyramid(nwa_pts, 6, 16).count()
         )
+        # sketch surface: deterministic HLL distinct + CMS heavy hitters
+        # (round-5 sketches; both are bounded-state map-side-combined aggs,
+        # so their wall time is essentially one scan each)
+        from osmi_addresses_spark.driver_queries import (
+            d_heavy_hitters,
+            q_hll_distinct,
+        )
+
+        counts["hll_groups"] = timed_min(
+            "approx_distinct_hll", lambda: q_hll_distinct(spark, sf_dir).count()
+        )
+        counts["cms_heavy_hitters"] = timed_min(
+            "heavy_hitters_cms", lambda: d_heavy_hitters(spark, sf_dir).count()
+        )
 
     n_validated = counts["nodes_with_addresses"]
     result = {

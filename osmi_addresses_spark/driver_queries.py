@@ -1867,6 +1867,7 @@ def all_queries():
         "heavy_hitters_cms": d_heavy_hitters,
         "sample_weighted": t_sample_weighted,
         "approx_distinct_stream": q_hll_stream,
+        "embed_quantize_int8": s_embed_quantize,
     }
     return qs
 
@@ -1943,6 +1944,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "heavy_hitters_cms": sql_heavy_hitters(),
         "sample_weighted": SQL_SAMPLE_WEIGHTED,
         "approx_distinct_stream": sql_hll_stream(),
+        "embed_quantize_int8": SQL_EMBED_QUANTIZE,
     }
 
 
@@ -3472,3 +3474,69 @@ SELECT e.event_type, e.exact_users,
 FROM exact e JOIN hll_est h USING (event_type)
 """
     )
+
+
+def s_embed_quantize(spark, sf_dir):
+    """Scalar int8 quantization of the embedding corpus — the index-
+    compression step before ANN at scale (4× smaller vectors, cache-
+    resident codebooks): per-dimension global [min, max] → 8-bit codes →
+    dequantize → per-vector reconstruction MSE. All Column expressions;
+    the per-dim stats table (dims rows) broadcasts back to the exploded
+    values, and the error sum folds in dim order on BOTH engines (ordered
+    list rebuild), so the fp result is bit-identical, not merely close."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dims = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    stats = dims.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    d = dims.join(F.broadcast(stats), "dim")
+    scale = F.col("mx") - F.col("mn")
+    qraw = F.round((F.col("x") - F.col("mn")) / scale * F.lit(255.0), 0)
+    q = F.when(scale == 0, F.lit(0.0)).otherwise(
+        F.least(F.greatest(qraw, F.lit(0.0)), F.lit(255.0))
+    )
+    deq = F.col("mn") + q / F.lit(255.0) * scale
+    err = (F.col("x") - deq) * (F.col("x") - deq)
+    per = d.select("vec_id", "dim", q.cast("int").alias("qi"), err.alias("err"))
+    agg = per.groupBy("vec_id").agg(
+        F.sum("qi").alias("q_sum"),
+        F.array_sort(F.collect_list(F.struct("dim", "err"))).alias("errs"),
+    )
+    sse = F.aggregate(
+        F.transform(F.col("errs"), lambda s: s["err"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return agg.select(
+        "vec_id",
+        "q_sum",
+        F.round(sse / F.size("errs"), 9).alias("mse"),
+    )
+
+
+SQL_EMBED_QUANTIZE = """
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), stats AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY 1
+), j AS (
+  SELECT d.vec_id, d.dim, d.x, s.mn, s.mx - s.mn AS scale
+  FROM dims d JOIN stats s USING (dim)
+), qd AS (
+  SELECT vec_id, dim, x, mn, scale,
+    CASE WHEN scale = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE LEAST(GREATEST(round((x - mn) / scale * CAST(255.0 AS DOUBLE), 0),
+                             CAST(0.0 AS DOUBLE)), CAST(255.0 AS DOUBLE)) END AS q
+  FROM j
+), ed AS (
+  SELECT vec_id, dim, CAST(q AS INT) AS qi,
+         (x - (mn + q / CAST(255.0 AS DOUBLE) * scale))
+         * (x - (mn + q / CAST(255.0 AS DOUBLE) * scale)) AS err
+  FROM qd
+)
+SELECT vec_id, CAST(SUM(qi) AS BIGINT) AS q_sum,
+       round(list_sum(list(err ORDER BY dim)) / COUNT(*), 9) AS mse
+FROM ed GROUP BY 1
+"""

@@ -245,3 +245,32 @@ def test_stream_hll_across_batches(spark, tmp_path):
         for r in hll_registers(a.unionByName(b), ["g"], "v").collect()
     }
     assert got == want
+
+
+def test_embed_quantize_invariants(spark, tmp_path):
+    # int8 scalar quantization: reconstruction error per element is bounded
+    # by half a quantization step, and a constant dimension reconstructs
+    # exactly (scale=0 path).
+    import os
+
+    from osmi_addresses_spark import driver_queries as DQ
+
+    rows = [
+        (i, [float(i), 7.0, (i % 3) * 100.0], 0)  # dim1 constant
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = {r["vec_id"]: r for r in DQ.s_embed_quantize(spark, str(tmp_path)).collect()}
+    assert len(out) == 50
+    # scales: dim0 = 49, dim1 = 0, dim2 = 200 → worst per-element err
+    # (scale/510)^2; mse over 3 dims bounded by max single-element err
+    worst = (200.0 / 510.0) ** 2
+    for r in out.values():
+        assert 0 <= r["mse"] <= worst + 1e-12
+        assert 0 <= r["q_sum"] <= 3 * 255
+    # all-identical vector set except dim0: vec 0 has x=min in dim0 → q=0
+    # there; its dim1 (constant) contributes exactly 0 error, making mse
+    # only dim0+dim2 rounding — sanity: the minimum vector's dim0 code is 0
+    # so q_sum for vec 0 is 0 + 0 + 0 (dim2: 0 % 3 == 0 → min → code 0)
+    assert out[0]["q_sum"] == 0
