@@ -1868,6 +1868,8 @@ def all_queries():
         "sample_weighted": t_sample_weighted,
         "approx_distinct_stream": q_hll_stream,
         "embed_quantize_int8": s_embed_quantize,
+        "geo_zonal_stats": g_zonal_stats,
+        "event_funnel": q_event_funnel,
     }
     return qs
 
@@ -1945,6 +1947,8 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "sample_weighted": SQL_SAMPLE_WEIGHTED,
         "approx_distinct_stream": sql_hll_stream(),
         "embed_quantize_int8": SQL_EMBED_QUANTIZE,
+        "geo_zonal_stats": sql_zonal_stats(fx),
+        "event_funnel": SQL_EVENT_FUNNEL,
     }
 
 
@@ -3539,4 +3543,140 @@ WITH dims AS (
 SELECT vec_id, CAST(SUM(qi) AS BIGINT) AS q_sum,
        round(list_sum(list(err ORDER BY dim)) / COUNT(*), 9) AS mse
 FROM ed GROUP BY 1
+"""
+
+
+def g_zonal_stats(spark, sf_dir):
+    """Zonal statistics: per place polygon, aggregate the address points it
+    contains — count, point bbox, mean position. The classic vector
+    analytics op (population-in-zone), composed from the PIP assignment
+    (grid-cell covering + even-odd ray cast, operators/pip.py) and one
+    map-side-combined aggregate keyed by polygon. Means rounded 7 dp (the
+    only fp whose summation order differs across engines; coords are O(10),
+    drift O(1e-13)); bbox min/max are exact parquet doubles."""
+    from .operators.pip import assign_points_to_polygons
+
+    d = parsed(spark, sf_dir)
+    pts = d["nodes"].filter(
+        F.col("tags")["addr:housenumber"].isNotNull()
+    ).select(F.col("node_id").alias("pkey"), "lon", "lat")
+    polys = (
+        d["ways_geo"]
+        .filter(
+            F.col("tags")["place"].isNotNull()
+            & (F.size("refs") >= 2)
+            & (F.element_at("refs", 1) == F.element_at("refs", -1))
+            & F.col("coords").isNotNull()
+        )
+        .select(F.col("way_id").alias("poly_id"), F.col("coords").alias("ring"))
+    )
+    m = assign_points_to_polygons(pts, polys)
+    return m.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("lon").alias("min_lon"),
+        F.max("lon").alias("max_lon"),
+        F.min("lat").alias("min_lat"),
+        F.max("lat").alias("max_lat"),
+        F.round(F.avg("lon"), 7).alias("mean_lon"),
+        F.round(F.avg("lat"), 7).alias("mean_lat"),
+    ).select(
+        G.fmt_id(F.col("poly_id")).alias("poly_id"),
+        "n_points", "min_lon", "max_lon", "min_lat", "max_lat",
+        "mean_lon", "mean_lat",
+    )
+
+
+def sql_zonal_stats(fx):
+    return _fx_prefix(fx) + """
+, poly AS (
+  SELECT w.way_id AS poly_id,
+    list_zip(w.coords[1:len(w.coords)-1], w.coords[2:len(w.coords)]) AS prs
+  FROM wgeo w
+  WHERE NOT w.dangling AND len(w.refs) >= 2 AND w.refs[1] = w.refs[-1]
+    AND EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = w.way_id AND t.k = 'place')
+), pts AS (
+  SELECT n.node_id, n.lon, n.lat FROM nd n
+  WHERE EXISTS (SELECT 1 FROM ntag t WHERE t.node_id = n.node_id AND t.k = 'addr:housenumber')
+), hits AS (
+  SELECT q.poly_id, p.lon, p.lat
+  FROM pts p, poly q
+  WHERE (list_sum(list_transform(q.prs, e ->
+          CASE WHEN (e[1].lat > p.lat) != (e[2].lat > p.lat)
+                AND p.lon < (e[2].lon - e[1].lon) * (p.lat - e[1].lat) / (e[2].lat - e[1].lat) + e[1].lon
+               THEN 1 ELSE 0 END)) % 2) = 1
+)
+SELECT CAST(poly_id AS VARCHAR) AS poly_id,
+       COUNT(*) AS n_points,
+       MIN(lon) AS min_lon, MAX(lon) AS max_lon,
+       MIN(lat) AS min_lat, MAX(lat) AS max_lat,
+       round(AVG(lon), 7) AS mean_lon, round(AVG(lat), 7) AS mean_lat
+FROM hits GROUP BY 1
+"""
+
+
+def q_event_funnel(spark, sf_dir):
+    """Classic funnel analysis: per user, first 'view', first 'click'
+    strictly after that view, first 'purchase' strictly after that click;
+    emit the step reached (1-3) and the exact integer-µs stage delays.
+    Three per-user min-aggregates chained by time predicates — each a
+    map-side-combined agg on the same user_id key, so at scale the three
+    stages reuse one hash partitioning (no fp anywhere)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    out = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t3").isNotNull(), 1).otherwise(0)
+            ).alias("step_reached"),
+            F.coalesce(
+                (F.unix_micros("t2") - F.unix_micros("t1")), F.lit(-1)
+            ).alias("view_to_click_us"),
+            F.coalesce(
+                (F.unix_micros("t3") - F.unix_micros("t2")), F.lit(-1)
+            ).alias("click_to_purchase_us"),
+        )
+    )
+    return out
+
+
+SQL_EVENT_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+)
+SELECT v.user_id,
+       1 + (c.t2 IS NOT NULL)::INT + (p.t3 IS NOT NULL)::INT AS step_reached,
+       COALESCE(epoch_us(c.t2) - epoch_us(v.t1), -1) AS view_to_click_us,
+       COALESCE(epoch_us(p.t3) - epoch_us(c.t2), -1) AS click_to_purchase_us
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 """
