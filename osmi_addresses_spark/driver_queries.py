@@ -1870,6 +1870,9 @@ def all_queries():
         "embed_quantize_int8": s_embed_quantize,
         "geo_zonal_stats": g_zonal_stats,
         "event_funnel": q_event_funnel,
+        "text_bigram_lm": t_bigram_lm,
+        "dedup_semantic_cluster": d_semantic_cluster,
+        "event_retention": q_event_retention,
     }
     return qs
 
@@ -1949,6 +1952,9 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "embed_quantize_int8": SQL_EMBED_QUANTIZE,
         "geo_zonal_stats": sql_zonal_stats(fx),
         "event_funnel": SQL_EVENT_FUNNEL,
+        "text_bigram_lm": SQL_BIGRAM_LM,
+        "dedup_semantic_cluster": sql_semantic_cluster(sf_dir),
+        "event_retention": SQL_EVENT_RETENTION,
     }
 
 
@@ -2259,10 +2265,20 @@ def d_embedding_near_dup(spark, sf_dir):
 
 
 def sql_embedding_near_dup(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    """DuckDB oracle for d_embedding_near_dup: regenerates the identical
-    md5-derived ±1 hyperplane entries (operators/dedup.plane_signs), builds
-    the same 4 band buckets of 8 bits, self-joins per band, verifies exact
-    cosine — mirroring the banded LSH plan literally."""
+    return (
+        "WITH "
+        + _embedding_pairs_ctes(sf_dir)
+        + "\nSELECT vec_a, vec_b, cosine FROM epairs\n"
+    )
+
+
+def _embedding_pairs_ctes(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB CTE chain for the embedding near-dup pairs (ends with
+    `epairs(vec_a, vec_b, cosine)`): regenerates the identical md5-derived
+    ±1 hyperplane entries (operators/dedup.plane_signs), builds the same 4
+    band buckets of 8 bits, self-joins per band, verifies exact cosine —
+    mirroring the banded LSH plan literally. Shared by the near-dup row and
+    the semantic-cluster row."""
     import pyarrow.parquet as pq
 
     from .operators.dedup import plane_signs
@@ -2284,8 +2300,7 @@ def sql_embedding_near_dup(sf_dir: str = "/root/testdata/sf0.01") -> str:
         band_exprs.append("(" + " + ".join(terms) + ")")
     buckets = ", ".join(band_exprs)
     band_ids = ", ".join(str(b) for b in range(bands))
-    return f"""
-WITH e AS (
+    return f"""e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), b AS (
   SELECT vec_id, v,
@@ -2296,13 +2311,13 @@ WITH e AS (
   SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
   FROM b a JOIN b b2
     ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-)
-SELECT vec_a, vec_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
-FROM cand
-JOIN e ea ON ea.vec_id = vec_a
-JOIN e eb ON eb.vec_id = vec_b
-WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
-"""
+), epairs AS (
+  SELECT vec_a, vec_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+  FROM cand
+  JOIN e ea ON ea.vec_id = vec_a
+  JOIN e eb ON eb.vec_id = vec_b
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+)"""
 
 
 def s_ann_ivf(spark, sf_dir):
@@ -3679,4 +3694,143 @@ SELECT v.user_id,
        COALESCE(epoch_us(c.t2) - epoch_us(v.t1), -1) AS view_to_click_us,
        COALESCE(epoch_us(p.t3) - epoch_us(c.t2), -1) AS click_to_purchase_us
 FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+def t_bigram_lm(spark, sf_dir):
+    """Bigram language-model statistics — the n-gram LM data-prep op: per
+    head token (corpus frequency ≥ 5), the top-3 successors by conditional
+    probability. Adjacency is computed WITHIN the filtered token sequence
+    (tokens = [a-z]{3,} runs; shorter runs removed BEFORE pairing, same on
+    both engines), and the probability is exact integer micro-units
+    (bigram_cnt·1e6 div head_cnt) so nothing fp reaches the ranking or the
+    hash. Two map-side-combined aggs + one per-head window."""
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda x: F.length(x) >= 3
+    )
+    n = F.size(arr)
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, n - 1).alias("head"),
+                F.slice(arr, 2, n - 1).alias("next"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.head").alias("head"), F.col("bg.next").alias("next"))
+    bg = pairs.groupBy("head", "next").agg(F.count(F.lit(1)).alias("bigram_cnt"))
+    heads = pairs.groupBy("head").agg(F.count(F.lit(1)).alias("head_cnt"))
+    j = bg.join(heads, "head").filter(F.col("head_cnt") >= 5)
+    p_micro = F.expr("bigram_cnt * 1000000 div head_cnt")
+    scored = j.select("head", "next", "bigram_cnt", "head_cnt", p_micro.alias("p_micro"))
+    w = Window.partitionBy("head").orderBy(
+        F.desc("p_micro"), F.desc("bigram_cnt"), F.asc("next")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("head", "next", "rn", "bigram_cnt", "head_cnt", "p_micro")
+    )
+
+
+SQL_BIGRAM_LM = """
+WITH arrs AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             x -> length(x) >= 3) AS a
+  FROM documents
+), pairs AS (
+  SELECT UNNEST(list_zip(a[1:len(a)-1], a[2:len(a)])) AS bg
+  FROM arrs WHERE len(a) >= 2
+), flat AS (
+  SELECT bg[1] AS head, bg[2] AS next FROM pairs
+), bg AS (
+  SELECT head, next, COUNT(*) AS bigram_cnt FROM flat GROUP BY 1, 2
+), heads AS (
+  SELECT head, COUNT(*) AS head_cnt FROM flat GROUP BY 1
+), scored AS (
+  SELECT bg.head, bg.next, bg.bigram_cnt, heads.head_cnt,
+         bg.bigram_cnt * 1000000 // heads.head_cnt AS p_micro
+  FROM bg JOIN heads USING (head) WHERE heads.head_cnt >= 5
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY head ORDER BY p_micro DESC, bigram_cnt DESC, next ASC) AS rn
+  FROM scored
+)
+SELECT head, next, rn, bigram_cnt, head_cnt, CAST(p_micro AS BIGINT) AS p_micro
+FROM ranked WHERE rn <= 3
+"""
+
+
+def d_semantic_cluster(spark, sf_dir):
+    """Semantic near-dup clustering: the embedding-cosine LSH pairs
+    (operators/dedup.embedding_near_dups) fed through the SAME distributed
+    connected-components operator the MinHash path uses — one canonical
+    vector per component (min vec_id). Composition row: proves the
+    clustering primitive is pair-source-agnostic."""
+    from .operators.graph import connected_components
+
+    vecs = _t(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = d_embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    cc = connected_components(
+        vecs, pairs, v_col="vec_id", src_col="vec_a", dst_col="vec_b"
+    )
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("v").alias("vec_id"),
+        "component",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        (F.col("v") == F.col("component")).cast("int").alias("is_kept"),
+    )
+
+
+def sql_semantic_cluster(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return (
+        "WITH RECURSIVE "
+        + _embedding_pairs_ctes(sf_dir)
+        + """,
+e2 AS (
+  SELECT vec_a AS a, vec_b AS b FROM epairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM epairs
+), reach(v, l) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e2.b, r.l FROM reach r JOIN e2 ON e2.a = r.v
+), comp AS (
+  SELECT v AS vec_id, MIN(l) AS component FROM reach GROUP BY 1
+)
+SELECT vec_id, component,
+       COUNT(*) OVER (PARTITION BY component) AS n_members,
+       CAST(vec_id = component AS INT) AS is_kept
+FROM comp
+"""
+    )
+
+
+def q_event_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-active day; for each
+    (cohort_day, day_offset), how many of that cohort were active. Days are
+    exact integer epoch-µs div 86400e6 (no timezone, no fp); three
+    map-side-combined aggs sharing the user_id partitioning. The classic
+    growth-analytics table, at 100 TB one shuffle of (user, day) pairs."""
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    ev = _t(spark, sf_dir, "events").select("user_id", day.alias("day"))
+    act = ev.distinct()
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = act.join(cohort, "user_id")
+    return (
+        j.groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_EVENT_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1
+)
+SELECT c.cohort_day, a.day - c.cohort_day AS day_offset, COUNT(*) AS n_users
+FROM act a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
 """
