@@ -1873,6 +1873,8 @@ def all_queries():
         "text_bigram_lm": t_bigram_lm,
         "dedup_semantic_cluster": d_semantic_cluster,
         "event_retention": q_event_retention,
+        "profile_table": q_profile_table,
+        "geo_polygon_overlay": g_polygon_overlay,
     }
     return qs
 
@@ -1955,6 +1957,8 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "text_bigram_lm": SQL_BIGRAM_LM,
         "dedup_semantic_cluster": sql_semantic_cluster(sf_dir),
         "event_retention": SQL_EVENT_RETENTION,
+        "profile_table": sql_profile_table(),
+        "geo_polygon_overlay": sql_polygon_overlay(fx),
     }
 
 
@@ -3833,4 +3837,217 @@ WITH act AS (
 SELECT c.cohort_day, a.day - c.cohort_day AS day_offset, COUNT(*) AS n_users
 FROM act a JOIN cohort c USING (user_id)
 GROUP BY 1, 2
+"""
+
+
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_returnflag", "l_linestatus",
+]
+
+
+def q_profile_table(spark, sf_dir):
+    """Data-profiling / quality-report over lineitem's exact-typed columns:
+    one row per column with null count, distinct count, and min/max
+    (numeric min/max stringified after aggregation — exact for both int
+    and varchar columns). The data-validation step every ingest pipeline
+    runs before training; all values exact. One pass: a single agg
+    computes every column's stats map-side-combined (no per-column
+    scans), then unpivots via a stack expr."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    row = li.agg(*aggs)
+    stacks = [
+        f"'{c}', {c}__nulls, {c}__dist, "
+        f"cast({c}__min as string), cast({c}__max as string)"
+        for c in _PROFILE_COLS
+    ]
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, "
+        + ", ".join(stacks)
+        + ") as (column_name, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+def sql_profile_table() -> str:
+    rows = []
+    for c in _PROFILE_COLS:
+        rows.append(
+            f"SELECT '{c}' AS column_name,"
+            f" COUNT(*) FILTER (WHERE {c} IS NULL) AS n_nulls,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" CAST(MIN({c}) AS VARCHAR) AS min_val,"
+            f" CAST(MAX({c}) AS VARCHAR) AS max_val"
+            f" FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+_ZONE_SCALE = 200.0  # place-marker ring → ~5 km influence zone
+
+
+def g_polygon_overlay(spark, sf_dir):
+    """Polygon-overlay spatial join: building polygons × place influence
+    zones (each place's marker ring scaled ×200 around its vertex
+    centroid — the buffer-then-overlay GIS workflow, done as a pure
+    deterministic affine transform both engines compute identically).
+    Candidates come from the same grid-cell-covering equi-join every other
+    spatial op uses (both bboxes explode their covering cells — two
+    overlapping bboxes always share a covering cell, so no true pair can
+    be lost); the exact predicate is pure Column logic: proper edge
+    crossing (orientation sign tests over all edge pairs via nested
+    EXISTS higher-order functions, whole-stage codegen) OR first-vertex
+    containment either way (even-odd ray cast). The oracle runs the SAME
+    fp arithmetic over the full cross join — so a hash match also proves
+    the candidate stage loses nothing."""
+    from .functions.cells import covering_cells
+    from .operators.pip import pip_expr
+
+    d = parsed(spark, sf_dir)
+
+    def closed_polys(tag, idc, ringc):
+        return (
+            d["ways_geo"]
+            .filter(
+                F.col("tags")[tag].isNotNull()
+                & (F.size("refs") >= 2)
+                & (F.element_at("refs", 1) == F.element_at("refs", -1))
+                & F.col("coords").isNotNull()
+            )
+            .select(F.col("way_id").alias(idc), F.col("coords").alias(ringc))
+        )
+
+    def scaled(ringc):
+        """ring scaled ×_ZONE_SCALE around its open-ring vertex centroid
+        (last vertex duplicates the first and is excluded from the mean)."""
+        n = F.size(F.col(ringc))
+        body = F.slice(F.col(ringc), 1, n - 1)
+        clon = F.aggregate(
+            body, F.lit(0.0), lambda a, v: a + v["lon"]
+        ) / (n - 1)
+        clat = F.aggregate(
+            body, F.lit(0.0), lambda a, v: a + v["lat"]
+        ) / (n - 1)
+        return F.transform(
+            F.col(ringc),
+            lambda v: F.struct(
+                (clon + F.lit(_ZONE_SCALE) * (v["lon"] - clon)).alias("lon"),
+                (clat + F.lit(_ZONE_SCALE) * (v["lat"] - clat)).alias("lat"),
+            ),
+        )
+
+    def with_cells(df, ringc):
+        bw = F.aggregate(F.col(ringc), F.lit(1e308), lambda a, c: F.least(a, c["lon"]))
+        be = F.aggregate(F.col(ringc), F.lit(-1e308), lambda a, c: F.greatest(a, c["lon"]))
+        bs = F.aggregate(F.col(ringc), F.lit(1e308), lambda a, c: F.least(a, c["lat"]))
+        bn = F.aggregate(F.col(ringc), F.lit(-1e308), lambda a, c: F.greatest(a, c["lat"]))
+        return df.withColumn("cell", F.explode(covering_cells(bw, be, bs, bn, 0.0)))
+
+    blds = closed_polys("building", "bld_id", "ring_a")
+    plcs = closed_polys("place", "plc_id", "ring_b").withColumn(
+        "ring_b", scaled("ring_b")
+    )
+    cand = (
+        with_cells(blds, "ring_a")
+        .join(with_cells(plcs, "ring_b"), "cell")
+        .drop("cell")
+        .dropDuplicates(["bld_id", "plc_id"])
+    )
+
+    def edges(ringc):
+        n = F.size(F.col(ringc))
+        return F.zip_with(
+            F.slice(F.col(ringc), 1, n - 1),
+            F.slice(F.col(ringc), 2, n - 1),
+            lambda p, q: F.struct(p.alias("p"), q.alias("q")),
+        )
+
+    def ccw(a, b, c):
+        return (b["lon"] - a["lon"]) * (c["lat"] - a["lat"]) - (
+            b["lat"] - a["lat"]
+        ) * (c["lon"] - a["lon"])
+
+    def proper_cross(ea, eb):
+        d1 = ccw(eb["p"], eb["q"], ea["p"])
+        d2 = ccw(eb["p"], eb["q"], ea["q"])
+        d3 = ccw(ea["p"], ea["q"], eb["p"])
+        d4 = ccw(ea["p"], ea["q"], eb["q"])
+        return (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+            ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+        )
+
+    any_cross = F.exists(
+        edges("ring_a"), lambda ea: F.exists(edges("ring_b"), lambda eb: proper_cross(ea, eb))
+    )
+    fa = F.element_at(F.col("ring_a"), 1)
+    fb = F.element_at(F.col("ring_b"), 1)
+    a_in_b = pip_expr(F.col("ring_b"), fa["lon"], fa["lat"])
+    b_in_a = pip_expr(F.col("ring_a"), fb["lon"], fb["lat"])
+    hit = cand.filter(any_cross | a_in_b | b_in_a)
+    return hit.select(
+        G.fmt_id(F.col("bld_id")).alias("bld_id"),
+        G.fmt_id(F.col("plc_id")).alias("plc_id"),
+    )
+
+
+def sql_polygon_overlay(fx):
+    ccw = (
+        lambda a, b, c: f"(({b}.lon - {a}.lon) * ({c}.lat - {a}.lat)"
+        f" - ({b}.lat - {a}.lat) * ({c}.lon - {a}.lon))"
+    )
+    d1 = ccw("eb[1]", "eb[2]", "ea[1]")
+    d2 = ccw("eb[1]", "eb[2]", "ea[2]")
+    d3 = ccw("ea[1]", "ea[2]", "eb[1]")
+    d4 = ccw("ea[1]", "ea[2]", "eb[2]")
+    cross = (
+        f"((({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0))"
+        f" AND (({d3} > 0 AND {d4} < 0) OR ({d3} < 0 AND {d4} > 0)))"
+    )
+    pip = (
+        lambda prs, plon, plat: f"(list_sum(list_transform({prs}, e ->"
+        f" CASE WHEN (e[1].lat > {plat}) != (e[2].lat > {plat})"
+        f" AND {plon} < (e[2].lon - e[1].lon) * ({plat} - e[1].lat) / (e[2].lat - e[1].lat) + e[1].lon"
+        f" THEN 1 ELSE 0 END)) % 2) = 1"
+    )
+    s = f"CAST({_ZONE_SCALE!r} AS DOUBLE)"
+    return _fx_prefix(fx) + f"""
+, cpoly AS (
+  SELECT w.way_id, w.coords
+  FROM wgeo w
+  WHERE NOT w.dangling AND len(w.refs) >= 2 AND w.refs[1] = w.refs[-1]
+), bld AS (
+  SELECT way_id AS bld_id, coords AS ring_a,
+    list_zip(coords[1:len(coords)-1], coords[2:len(coords)]) AS prs_a
+  FROM cpoly
+  WHERE EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = cpoly.way_id AND t.k = 'building')
+), plc0 AS (
+  SELECT way_id AS plc_id, coords,
+    list_sum(list_transform(coords[1:len(coords)-1], v -> v.lon)) / (len(coords) - 1) AS clon,
+    list_sum(list_transform(coords[1:len(coords)-1], v -> v.lat)) / (len(coords) - 1) AS clat
+  FROM cpoly
+  WHERE EXISTS (SELECT 1 FROM wtag t WHERE t.way_id = cpoly.way_id AND t.k = 'place')
+), plc1 AS (
+  SELECT plc_id,
+    list_transform(coords, v -> struct_pack(
+      lon := clon + {s} * (v.lon - clon),
+      lat := clat + {s} * (v.lat - clat))) AS ring_b
+  FROM plc0
+), plc AS (
+  SELECT plc_id, ring_b,
+    list_zip(ring_b[1:len(ring_b)-1], ring_b[2:len(ring_b)]) AS prs_b
+  FROM plc1
+)
+SELECT CAST(b.bld_id AS VARCHAR) AS bld_id, CAST(p.plc_id AS VARCHAR) AS plc_id
+FROM bld b, plc p
+WHERE len(list_filter(b.prs_a, ea ->
+        len(list_filter(p.prs_b, eb -> {cross})) > 0)) > 0
+   OR {pip("p.prs_b", "b.ring_a[1].lon", "b.ring_a[1].lat")}
+   OR {pip("b.prs_a", "p.ring_b[1].lon", "p.ring_b[1].lat")}
 """
