@@ -1875,6 +1875,7 @@ def all_queries():
         "event_retention": q_event_retention,
         "profile_table": q_profile_table,
         "geo_polygon_overlay": g_polygon_overlay,
+        "fuzzy_join": q_fuzzy_join,
     }
     return qs
 
@@ -1959,6 +1960,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "event_retention": SQL_EVENT_RETENTION,
         "profile_table": sql_profile_table(),
         "geo_polygon_overlay": sql_polygon_overlay(fx),
+        "fuzzy_join": SQL_FUZZY_JOIN,
     }
 
 
@@ -4050,4 +4052,60 @@ WHERE len(list_filter(b.prs_a, ea ->
         len(list_filter(p.prs_b, eb -> {cross})) > 0)) > 0
    OR {pip("p.prs_b", "b.ring_a[1].lon", "b.ring_a[1].lat")}
    OR {pip("b.prs_a", "p.ring_b[1].lon", "p.ring_b[1].lat")}
+"""
+
+
+def q_fuzzy_join(spark, sf_dir):
+    """Entity-resolution fuzzy self-join over part names: candidate pairs
+    from TWO blocking keys (first token ∪ last token — the standard
+    multi-pass blocking that survives an edit in either token), refined by
+    exact Levenshtein ≤ 3 with a length-band prefilter. Blocking turns the
+    O(n²) cross join into two equi-joins (each shuffles on a token key);
+    the oracle mirrors the same blocked semantics, so the hash match
+    freezes exactly what the blocks do and don't catch. Distances are
+    integers — nothing fp in the row."""
+    p = _t(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    k = p.select(
+        "name",
+        F.substring_index("name", " ", 1).alias("k1"),
+        F.substring_index("name", " ", -1).alias("k2"),
+    )
+    a = k.select(
+        F.col("name").alias("name_a"), F.col("k1").alias("a1"), F.col("k2").alias("a2")
+    )
+    b = k.select(
+        F.col("name").alias("name_b"), F.col("k1").alias("b1"), F.col("k2").alias("b2")
+    )
+    lt = F.col("name_a") < F.col("name_b")
+    c1 = a.join(b, (F.col("a1") == F.col("b1")) & lt).select("name_a", "name_b")
+    c2 = a.join(b, (F.col("a2") == F.col("b2")) & lt).select("name_a", "name_b")
+    cand = c1.unionByName(c2).distinct()
+    return (
+        cand.filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= 3
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+    )
+
+
+SQL_FUZZY_JOIN = """
+WITH p AS (
+  SELECT DISTINCT p_name AS name FROM part
+), k AS (
+  SELECT name,
+         string_split(name, ' ')[1] AS k1,
+         string_split(name, ' ')[-1] AS k2
+  FROM p
+), cand AS (
+  SELECT a.name AS name_a, b.name AS name_b
+  FROM k a JOIN k b ON a.k1 = b.k1 AND a.name < b.name
+  UNION
+  SELECT a.name, b.name
+  FROM k a JOIN k b ON a.k2 = b.k2 AND a.name < b.name
+)
+SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+FROM cand
+WHERE abs(length(name_a) - length(name_b)) <= 3
+  AND levenshtein(name_a, name_b) <= 3
 """
