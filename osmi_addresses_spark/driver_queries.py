@@ -1876,6 +1876,8 @@ def all_queries():
         "profile_table": q_profile_table,
         "geo_polygon_overlay": g_polygon_overlay,
         "fuzzy_join": q_fuzzy_join,
+        "geo_kring_smooth": g_kring_smooth,
+        "event_anomaly": q_event_anomaly,
     }
     return qs
 
@@ -1961,6 +1963,8 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "profile_table": sql_profile_table(),
         "geo_polygon_overlay": sql_polygon_overlay(fx),
         "fuzzy_join": SQL_FUZZY_JOIN,
+        "geo_kring_smooth": sql_kring_smooth(fx),
+        "event_anomaly": SQL_EVENT_ANOMALY,
     }
 
 
@@ -4108,4 +4112,92 @@ SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
 FROM cand
 WHERE abs(length(name_a) - length(name_b)) <= 3
   AND levenshtein(name_a, name_b) <= 3
+"""
+
+
+def g_kring_smooth(spark, sf_dir):
+    """K-ring neighborhood aggregation (the north star's H3 k-ring pattern
+    on the engine's square grid): per occupied raster cell, the total
+    point count over its 3×3 neighborhood (k=1 ring). One raster agg, a
+    9-way neighbor explode of the (already tiny) cell table, one second
+    agg — the density-smoothing / hot-spot primitive. All integers."""
+    from .operators.raster import rasterize_points
+
+    d = parsed(spark, sf_dir)
+    cells = rasterize_points(d["nodes"], res=0.02)
+    three = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    spread = (
+        cells.select("cx", "cy", "n", F.explode(three).alias("dx"))
+        .select("cx", "cy", "n", "dx", F.explode(three).alias("dy"))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("tx"),
+            (F.col("cy") + F.col("dy")).alias("ty"),
+            "n",
+        )
+    )
+    ring = spread.groupBy("tx", "ty").agg(F.sum("n").alias("ring_n"))
+    return (
+        cells.join(
+            ring, (cells.cx == ring.tx) & (cells.cy == ring.ty)
+        )
+        .select("cx", "cy", "n", F.col("ring_n").cast("long").alias("ring_n"))
+    )
+
+
+def sql_kring_smooth(fx):
+    return _fx_prefix(fx) + """
+, cells AS (
+  SELECT CAST(floor(lon / 0.02) AS BIGINT) AS cx,
+         CAST(floor(lat / 0.02) AS BIGINT) AS cy,
+         COUNT(*) AS n
+  FROM nd GROUP BY 1, 2
+), spread AS (
+  SELECT c.cx + dx.d AS tx, c.cy + dy.d AS ty, c.n
+  FROM cells c, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+), ring AS (
+  SELECT tx, ty, SUM(n) AS ring_n FROM spread GROUP BY 1, 2
+)
+SELECT c.cx, c.cy, c.n, CAST(r.ring_n AS BIGINT) AS ring_n
+FROM cells c JOIN ring r ON r.tx = c.cx AND r.ty = c.cy
+"""
+
+
+def q_event_anomaly(spark, sf_dir):
+    """Daily-volume anomaly detection per event type: flag days whose
+    count deviates from the type's mean by more than 2σ. The variance is
+    computed from EXACT integer sums (population var = (n·Σx² − (Σx)²)/n²)
+    and the z-test is evaluated as a cross-multiplied INTEGER comparison:
+    z² > 4 ⟺ (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — no fp anywhere, so the
+    flag is bit-exact cross-engine. Shape: one (type, day) count agg, one
+    per-type rollup joined back (broadcast — one row per type)."""
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    ev = _t(spark, sf_dir, "events").select("event_type", day.alias("day"))
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * F.col("x") - F.col("sx")  # n·(x - mean)
+    var_n2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")  # n²·var
+    is_anom = (dev * dev) > (F.lit(4) * var_n2)  # z² > 4, all integer
+    return j.select(
+        "event_type", "day", "x",
+        is_anom.cast("int").alias("is_anomaly"),
+    )
+
+
+SQL_EVENT_ANOMALY = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, d.x,
+       CAST((s.n * d.x - s.sx) * (s.n * d.x - s.sx)
+            > 4 * (s.n * s.sxx - s.sx * s.sx) AS INT) AS is_anomaly
+FROM daily d JOIN stats s USING (event_type)
 """
