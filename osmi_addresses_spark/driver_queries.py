@@ -1878,6 +1878,8 @@ def all_queries():
         "fuzzy_join": q_fuzzy_join,
         "geo_kring_smooth": g_kring_smooth,
         "event_anomaly": q_event_anomaly,
+        "event_cumulative_users": q_cumulative_users,
+        "heavy_hitters_stream": q_cms_stream,
     }
     return qs
 
@@ -1965,6 +1967,8 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "fuzzy_join": SQL_FUZZY_JOIN,
         "geo_kring_smooth": sql_kring_smooth(fx),
         "event_anomaly": SQL_EVENT_ANOMALY,
+        "event_cumulative_users": SQL_CUMULATIVE_USERS,
+        "heavy_hitters_stream": sql_cms_stream(),
     }
 
 
@@ -4201,3 +4205,112 @@ SELECT d.event_type, d.day, d.x,
             > 4 * (s.n * s.sxx - s.sx * s.sx) AS INT) AS is_anomaly
 FROM daily d JOIN stats s USING (event_type)
 """
+
+
+def q_cumulative_users(spark, sf_dir):
+    """Growth curve: per event type and day, new users (first-seen that
+    day) and the cumulative distinct-user count. Running DISTINCT is
+    normally stateful; here it reduces to exact integers: a first-seen
+    flag (min day per (type, user)) → daily new-user counts → a running
+    sum window ordered by day. Two map-side-combined aggs + one bounded
+    window (rows = types × days)."""
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", day.alias("day")
+    )
+    first = ev.groupBy("event_type", "user_id").agg(F.min("day").alias("day"))
+    daily = first.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type", "day", "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+SQL_CUMULATIVE_USERS = """
+WITH first AS (
+  SELECT event_type, user_id, MIN(epoch_us(ts) // 86400000000) AS day
+  FROM events GROUP BY 1, 2
+), daily AS (
+  SELECT event_type, day, COUNT(*) AS new_users FROM first GROUP BY 1, 2
+)
+SELECT event_type, day, new_users,
+       SUM(new_users) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+FROM daily
+"""
+
+
+def q_cms_stream(spark, sf_dir):
+    """Streaming CMS: like approx_distinct_stream, the count-min counter
+    operator is pure select+groupBy+sum, so it runs UNCHANGED over an
+    availableNow stream with complete-mode aggregation (state bounded at
+    d·w counters forever). CMS add-mergeability makes the stream's final
+    counters equal the batch sketch, so the point-query estimates for the
+    10 most frequent user_ids value-match the batch SQL oracle."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.sketch import cms_estimate, cms_counters
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    tmp = tempfile.mkdtemp(prefix="osmi_scms_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src, ck = (os.path.join(tmp, x) for x in ("src", "ck"))
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    regs = cms_counters(stream, "user_id", d=4, w=1024)
+    qname = "cms_stream_" + os.path.basename(tmp).replace("osmi_scms_", "")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ck)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_cms did not drain within 300s")
+    counters = spark.table(qname)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(10)
+    est = cms_estimate(top.select("user_id"), counters, "user_id", d=4, w=1024)
+    return top.join(est, "user_id").select("user_id", "exact_cnt", "cms_est")
+
+
+def sql_cms_stream(d: int = 4, w: int = 1024) -> str:
+    from .operators.sketch import cms_sql_ctes
+
+    probes = "\n    UNION ALL\n    ".join(
+        f"SELECT user_id, {r} AS row, (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),"
+        f" {1 + 8 * r}, 8) AS BIGINT) % {w}) AS col FROM top"
+        for r in range(d)
+    )
+    return (
+        "WITH src AS (SELECT user_id FROM events),"
+        + cms_sql_ctes("src", "user_id", d=d, w=w).lstrip().rstrip()
+        + f""",
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1
+), top AS (
+  SELECT * FROM exact ORDER BY exact_cnt DESC, user_id ASC LIMIT 10
+), probes AS (
+    {probes}
+), est AS (
+  SELECT p.user_id, MIN(COALESCE(c.cnt, 0)) AS cms_est
+  FROM probes p LEFT JOIN cms_counters c ON c.row = p.row AND c.col = p.col
+  GROUP BY 1
+)
+SELECT t.user_id, t.exact_cnt, e.cms_est FROM top t JOIN est e USING (user_id)
+"""
+    )
