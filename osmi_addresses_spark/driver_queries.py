@@ -1880,6 +1880,7 @@ def all_queries():
         "event_anomaly": q_event_anomaly,
         "event_cumulative_users": q_cumulative_users,
         "heavy_hitters_stream": q_cms_stream,
+        "text_curation_pipeline": t_curation_pipeline,
     }
     return qs
 
@@ -1969,6 +1970,7 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "event_anomaly": SQL_EVENT_ANOMALY,
         "event_cumulative_users": SQL_CUMULATIVE_USERS,
         "heavy_hitters_stream": sql_cms_stream(),
+        "text_curation_pipeline": sql_curation_pipeline(),
     }
 
 
@@ -4314,3 +4316,103 @@ exact AS (
 SELECT t.user_id, t.exact_cnt, e.cms_est FROM top t JOIN est e USING (user_id)
 """
     )
+
+
+def t_curation_pipeline(spark, sf_dir):
+    """The end-to-end training-data curation funnel as ONE query: exact
+    dedup (md5 digest, min-doc_id representative) → quality filter (the
+    text_quality 'ok' bucket) → deterministic stratified sampling (the
+    sample_stratified thresholds) → per-language stage counts + sampled
+    token volume. Every stage reuses the exact semantics of its
+    standalone oracle-gated query; this row freezes the COMPOSITION — the
+    pipeline a real curation run executes. All integers; stage joins
+    coalesce to 0 so languages dropped mid-funnel still report."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w = Window.partitionBy(F.md5(F.encode("text", "utf-8")))
+    deduped = (
+        d.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    quality = deduped.filter(~(toks < 5) & ~(punct * 4 > toks))
+    u32 = F.conv(
+        F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    thr = F.lit(0)
+    for lang, rate in sorted(_SAMPLE_RATES.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(int(rate * 2**32))).otherwise(thr)
+    sampled = quality.filter(u32 < thr)
+
+    def cnt(df, name, extra=None):
+        aggs = [F.count(F.lit(1)).alias(name)]
+        if extra is not None:
+            aggs.append(extra)
+        return df.groupBy("lang").agg(*aggs)
+
+    out = (
+        cnt(d, "n_raw")
+        .join(cnt(deduped, "n_dedup"), "lang", "left")
+        .join(cnt(quality, "n_quality"), "lang", "left")
+        .join(
+            cnt(sampled, "n_sampled", F.sum(toks).alias("sampled_tokens")),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("sampled_tokens", F.lit(0)).alias("sampled_tokens"),
+        )
+    )
+    return out
+
+
+def sql_curation_pipeline() -> str:
+    cases = "\n             ".join(
+        f"WHEN '{lang}' THEN {int(rate * 2**32)}"
+        for lang, rate in sorted(_SAMPLE_RATES.items())
+    )
+    return rf"""
+WITH deduped AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+    FROM documents
+  ) WHERE doc_id = keep_id
+), quality AS (
+  SELECT * FROM deduped
+  WHERE NOT (len(regexp_split_to_array(trim(text), '\s+')) < 5)
+    AND NOT ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 4
+             > len(regexp_split_to_array(trim(text), '\s+')))
+), sampled AS (
+  SELECT * FROM quality
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) <
+        CASE lang {cases} ELSE 0 END
+), raw_c AS (
+  SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY 1
+), ded_c AS (
+  SELECT lang, COUNT(*) AS n_dedup FROM deduped GROUP BY 1
+), qua_c AS (
+  SELECT lang, COUNT(*) AS n_quality FROM quality GROUP BY 1
+), sam_c AS (
+  SELECT lang, COUNT(*) AS n_sampled,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sampled_tokens
+  FROM sampled GROUP BY 1
+)
+SELECT r.lang, r.n_raw,
+       COALESCE(d.n_dedup, 0) AS n_dedup,
+       COALESCE(q.n_quality, 0) AS n_quality,
+       COALESCE(s.n_sampled, 0) AS n_sampled,
+       COALESCE(s.sampled_tokens, 0) AS sampled_tokens
+FROM raw_c r
+LEFT JOIN ded_c d USING (lang)
+LEFT JOIN qua_c q USING (lang)
+LEFT JOIN sam_c s USING (lang)
+"""

@@ -272,6 +272,63 @@ class TableStore:
                     shutil.rmtree(os.path.join(sdir, entry), ignore_errors=True)
         return drop
 
+    def merge(
+        self,
+        spark: SparkSession,
+        name: str,
+        updates: DataFrame,
+        key_cols: list[str],
+        deletes: DataFrame | None = None,
+        sort_within: list | None = None,
+    ) -> str:
+        """MERGE (upsert + optional delete) by key, as a NEW snapshot —
+        the Iceberg MERGE INTO analog on the copy-on-write path: rows of
+        the current snapshot whose key matches `updates` (or `deletes`)
+        are replaced (or dropped), everything else is carried; the result
+        commits as the next version, so readers of the old snapshot are
+        unaffected and time travel still sees the pre-merge table.
+
+        `deletes` needs only the key columns. `sort_within` re-applies the
+        original writer's in-file clustering (same contract as `compact` —
+        without it a merged layer table would lose row-group pruning).
+        First merge into a missing table degenerates to a plain write.
+
+        Scale shape: one LEFT ANTI hash join per side keyed on `key_cols`
+        (the updates/deletes side is typically small → AQE broadcasts it)
+        plus the snapshot write; the current data is never rewritten in
+        place."""
+        m = self.manifest(name)
+        if m is None:
+            if deletes is not None:
+                raise KeyError(f"cannot delete from missing table {name!r}")
+            return self.write(name, updates)
+        cur = self.read(spark, name)
+        missing = [k for k in key_cols if k not in cur.columns or k not in updates.columns]
+        if missing:
+            raise ValueError(f"merge keys absent from table or updates: {missing}")
+        survivors = cur.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+        if deletes is not None:
+            survivors = survivors.join(
+                deletes.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            upserts = updates.join(
+                deletes.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+        else:
+            upserts = updates
+        merged = survivors.unionByName(upserts.select(*cur.columns))
+        if sort_within:
+            merged = merged.sortWithinPartitions(*sort_within)
+        lineage = dict(m.get("lineage") or {})
+        lineage["last_merge"] = {"keys": key_cols, "deletes": deletes is not None}
+        return self.write(
+            name,
+            merged,
+            partition_by=(m.get("partition_by") or None),
+            lineage=lineage,
+            options=m.get("write_options") or None,
+        )
+
     def compact(
         self,
         spark: SparkSession,

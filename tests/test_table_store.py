@@ -191,3 +191,56 @@ def test_vacuum_sweeps_orphan_version_dirs(spark, tmp_path):
     assert store.vacuum("t", keep=1) == []  # nothing committed to retire
     assert not os.path.exists(orphan)  # ...but the orphan is gone
     assert store.read(spark, "t").count() == 5
+
+
+def test_merge_upserts_and_deletes_as_new_snapshot(spark, tmp_path):
+    import pytest
+
+    store = TableStore(str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "name", "v"]
+    )
+    store.write("t", base)
+    # upsert: replace k=2, insert k=4; delete k=3
+    ups = spark.createDataFrame([(2, "B", 200), (4, "d", 40)], ["k", "name", "v"])
+    dels = spark.createDataFrame([(3,)], ["k"])
+    store.merge(spark, "t", ups, ["k"], deletes=dels)
+    got = {(r["k"], r["name"], r["v"]) for r in store.read(spark, "t").collect()}
+    assert got == {(1, "a", 10), (2, "B", 200), (4, "d", 40)}
+    # time travel: the pre-merge snapshot is untouched
+    v1 = {(r["k"], r["name"], r["v"]) for r in store.read(spark, "t", version=1).collect()}
+    assert v1 == {(1, "a", 10), (2, "b", 20), (3, "c", 30)}
+    assert store.versions("t") == [1, 2]
+    m = store.manifest("t")
+    assert m["lineage"]["last_merge"] == {"keys": ["k"], "deletes": True}
+    # a row present in BOTH updates and deletes is deleted, not resurrected
+    store.merge(
+        spark, "t",
+        spark.createDataFrame([(4, "dd", 44)], ["k", "name", "v"]),
+        ["k"],
+        deletes=spark.createDataFrame([(4,)], ["k"]),
+    )
+    got3 = {r["k"] for r in store.read(spark, "t").collect()}
+    assert got3 == {1, 2}
+    # first merge into a missing table is a plain write; deleting from a
+    # missing table is an error
+    store.merge(spark, "fresh", base, ["k"])
+    assert store.read(spark, "fresh").count() == 3
+    with pytest.raises(KeyError):
+        store.merge(spark, "nope", ups, ["k"], deletes=dels)
+    with pytest.raises(ValueError):
+        store.merge(spark, "t", ups.selectExpr("k AS kk", "name", "v"), ["kk"])
+
+
+def test_merge_carries_partitioning_and_options(spark, tmp_path):
+    store = TableStore(str(tmp_path / "wh"))
+    base = spark.range(40).selectExpr("id AS k", "id % 4 AS part", "id * 2 AS v")
+    store.write("t", base, partition_by=["part"], options={"parquet.block.size": str(1 << 20)})
+    ups = spark.createDataFrame([(1, 1, 999)], ["k", "part", "v"])
+    store.merge(spark, "t", ups, ["k"])
+    m = store.manifest("t")
+    assert m["partition_by"] == ["part"]
+    assert m["write_options"] == {"parquet.block.size": str(1 << 20)}
+    assert any(p.startswith("part=") for p in m["partitions"])
+    got = {r["v"] for r in store.read(spark, "t").filter("k = 1").collect()}
+    assert got == {999}
