@@ -68,6 +68,27 @@ def main(argv=None):
         "newest K snapshots of each written layer table",
     )
     ap.add_argument(
+        "--merge-into",
+        default=None,
+        metavar="TABLE",
+        help="MERGE mode: treat --input as an updates parquet and upsert "
+        "it by --merge-keys into warehouse table TABLE (a new snapshot; "
+        "the pre-merge version stays time-travel readable). Skips the "
+        "pipeline entirely — the incremental-update workflow.",
+    )
+    ap.add_argument(
+        "--merge-keys",
+        default=None,
+        metavar="K1,K2",
+        help="comma-separated key columns for --merge-into",
+    )
+    ap.add_argument(
+        "--merge-deletes",
+        default=None,
+        metavar="PATH",
+        help="with --merge-into: parquet of key rows to delete",
+    )
+    ap.add_argument(
         "--warm",
         action="store_true",
         help="pre-load the driver JVM's analyzer/codegen classes with a "
@@ -77,6 +98,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.spatialite_shards and not args.spatialite:
         ap.error("--spatialite-shards requires --spatialite <dir>")
+    if args.merge_into and not args.merge_keys:
+        ap.error("--merge-into requires --merge-keys")
 
     from pyspark.sql import SparkSession
 
@@ -89,6 +112,23 @@ def main(argv=None):
 
         warm_driver_plans(spark)
     store = TableStore(args.output)
+
+    if args.merge_into:
+        import json as _json
+
+        updates = spark.read.parquet(args.input)
+        deletes = (
+            spark.read.parquet(args.merge_deletes) if args.merge_deletes else None
+        )
+        path = store.merge(
+            spark,
+            args.merge_into,
+            updates,
+            args.merge_keys.split(","),
+            deletes=deletes,
+        )
+        print(_json.dumps({"merged": {args.merge_into: path}}))
+        return 0
 
     fmt = args.format
     if fmt == "auto":

@@ -131,3 +131,31 @@ def test_submit_compact_all_layers_default(tmp_path, spark, small_world):
         m = json.load(open(os.path.join(out, mf)))
         assert m["version"] == 2, mf  # compacted
         assert sorted(int(k) for k in m["snapshots"]) == [2], mf  # vacuumed
+
+
+def test_submit_merge_mode(spark, tmp_path):
+    import json
+
+    from osmi_addresses_spark.io.table import TableStore
+
+    wh = str(tmp_path / "wh")
+    store = TableStore(wh)
+    store.write(
+        "users",
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "name"]),
+    )
+    ups = str(tmp_path / "ups")
+    spark.createDataFrame([(2, "B"), (3, "c")], ["k", "name"]).write.parquet(ups)
+    dels = str(tmp_path / "dels")
+    spark.createDataFrame([(1,)], ["k"]).write.parquet(dels)
+    import submit_job
+
+    rc = submit_job.main([
+        "--input", ups, "--output", wh,
+        "--merge-into", "users", "--merge-keys", "k",
+        "--merge-deletes", dels,
+    ])
+    assert not rc
+    got = {(r["k"], r["name"]) for r in store.read(spark, "users").collect()}
+    assert got == {(2, "B"), (3, "c")}
+    assert store.versions("users") == [1, 2]
