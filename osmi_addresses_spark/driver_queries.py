@@ -3447,6 +3447,40 @@ SELECT lang, doc_id, rn FROM ranked WHERE rn <= 5
 """
 
 
+def _drain_complete_stream(spark, src_df, build_agg, prefix):
+    """Dump src_df to a scratch dir, stream it back with availableNow, run
+    the (pure, streaming-capable) aggregation `build_agg(stream_df)` into a
+    complete-mode memory sink, and return the final in-memory table. The
+    shared scaffold for the sketch-over-stream driver rows (the dedup and
+    interval-join streams have different shapes and keep their own)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    src, ck = (os.path.join(tmp, x) for x in ("src", "ck"))
+    src_df.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    qname = prefix + os.path.basename(tmp).replace(prefix, "")
+    q = (
+        build_agg(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ck)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError(f"{prefix}stream did not drain within 300s")
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
 def q_hll_stream(spark, sf_dir):
     """Streaming HLL distinct: the SAME hll_registers operator (pure
     select + groupBy + max — no batch-only constructs) run over an
@@ -3458,33 +3492,16 @@ def q_hll_stream(spark, sf_dir):
     streaming-agg state bounded at groups×256 registers forever.
     Cross-batch state recovery (two file drops, one checkpoint) is pinned
     by tests/test_sketch_graph.py::test_stream_hll_across_batches."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from .operators.sketch import hll_estimate_from_registers, hll_registers
 
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
-    tmp = tempfile.mkdtemp(prefix="osmi_shll_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    src, ck = (os.path.join(tmp, x) for x in ("src", "ck"))
-    ev.write.parquet(src)
-    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    regs = hll_registers(stream, ["event_type"], "user_id", p=8)
-    qname = "hll_stream_" + os.path.basename(tmp).replace("osmi_shll_", "")
-    q = (
-        regs.writeStream.format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ck)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    regs = _drain_complete_stream(
+        spark,
+        ev,
+        lambda s: hll_registers(s, ["event_type"], "user_id", p=8),
+        "osmi_shll_",
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("stream_hll did not drain within 300s")
-    est = hll_estimate_from_registers(spark.table(qname), ["event_type"], p=8)
+    est = hll_estimate_from_registers(regs, ["event_type"], p=8)
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
@@ -3726,11 +3743,14 @@ def t_bigram_lm(spark, sf_dir):
         F.split(F.lower("text"), "[^a-z]+"), lambda x: F.length(x) >= 3
     )
     n = F.size(arr)
+    # n can be 0 (a doc with no [a-z]{3,} run) or 1: slice length must be
+    # clamped ≥ 0 — mirrors the oracle's len(a) >= 2 guard
+    m = F.greatest(n - 1, F.lit(0))
     pairs = docs.select(
         F.explode(
             F.arrays_zip(
-                F.slice(arr, 1, n - 1).alias("head"),
-                F.slice(arr, 2, n - 1).alias("next"),
+                F.slice(arr, 1, m).alias("head"),
+                F.slice(arr, 2, m).alias("next"),
             )
         ).alias("bg")
     ).select(F.col("bg.head").alias("head"), F.col("bg.next").alias("next"))
@@ -4174,8 +4194,12 @@ def q_event_anomaly(spark, sf_dir):
     computed from EXACT integer sums (population var = (n·Σx² − (Σx)²)/n²)
     and the z-test is evaluated as a cross-multiplied INTEGER comparison:
     z² > 4 ⟺ (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — no fp anywhere, so the
-    flag is bit-exact cross-engine. Shape: one (type, day) count agg, one
-    per-type rollup joined back (broadcast — one row per type)."""
+    flag is bit-exact cross-engine. Exactness bound: the comparison stays
+    inside int64 while n·Σx² < 2⁶³ and (n·x−Σx)² < 2⁶³ (e.g. 10⁴ days ×
+    daily counts up to ~3×10⁷ per type — DuckDB's int128 SUM keeps going
+    further, so beyond that bound pre-aggregate counts into coarser units
+    before this query). Shape: one (type, day) count agg, one per-type
+    rollup joined back (broadcast — one row per type)."""
     day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
     ev = _t(spark, sf_dir, "events").select("event_type", day.alias("day"))
     daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("x"))
@@ -4257,33 +4281,15 @@ def q_cms_stream(spark, sf_dir):
     d·w counters forever). CMS add-mergeability makes the stream's final
     counters equal the batch sketch, so the point-query estimates for the
     10 most frequent user_ids value-match the batch SQL oracle."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from .operators.sketch import cms_estimate, cms_counters
 
     ev = _t(spark, sf_dir, "events").select("user_id")
-    tmp = tempfile.mkdtemp(prefix="osmi_scms_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    src, ck = (os.path.join(tmp, x) for x in ("src", "ck"))
-    ev.write.parquet(src)
-    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    regs = cms_counters(stream, "user_id", d=4, w=1024)
-    qname = "cms_stream_" + os.path.basename(tmp).replace("osmi_scms_", "")
-    q = (
-        regs.writeStream.format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ck)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    counters = _drain_complete_stream(
+        spark,
+        ev,
+        lambda s: cms_counters(s, "user_id", d=4, w=1024),
+        "osmi_scms_",
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("stream_cms did not drain within 300s")
-    counters = spark.table(qname)
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top = exact.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(10)
     est = cms_estimate(top.select("user_id"), counters, "user_id", d=4, w=1024)

@@ -297,15 +297,45 @@ class TableStore:
         (the updates/deletes side is typically small → AQE broadcasts it)
         plus the snapshot write; the current data is never rewritten in
         place."""
+        from pyspark.sql import functions as F
+
+        if any(k not in updates.columns for k in key_cols):
+            raise ValueError(f"merge keys absent from updates: {key_cols}")
+        # MERGE's contract is one action per key: reject updates that carry
+        # duplicate or NULL keys instead of silently committing a
+        # non-keyed snapshot (Iceberg MERGE INTO errors on multi-match
+        # too). One small agg over the updates side.
+        any_null = F.lit(False)
+        for k in key_cols:
+            any_null = any_null | F.col(k).isNull()
+        bad = (
+            updates.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.max("c").alias("maxc"),
+                F.count(F.when(any_null, 1)).alias("nulls"),
+            )
+            .collect()[0]
+        )
+        if (bad["maxc"] or 0) > 1:
+            raise ValueError("updates contain duplicate rows per merge key")
+        if bad["nulls"]:
+            raise ValueError("updates contain NULL merge keys")
+        lineage_mark = {"keys": key_cols, "deletes": deletes is not None}
         m = self.manifest(name)
         if m is None:
             if deletes is not None:
                 raise KeyError(f"cannot delete from missing table {name!r}")
-            return self.write(name, updates)
+            first = (
+                updates.sortWithinPartitions(*sort_within)
+                if sort_within
+                else updates
+            )
+            return self.write(name, first, lineage={"last_merge": lineage_mark})
         cur = self.read(spark, name)
-        missing = [k for k in key_cols if k not in cur.columns or k not in updates.columns]
+        missing = [k for k in key_cols if k not in cur.columns]
         if missing:
-            raise ValueError(f"merge keys absent from table or updates: {missing}")
+            raise ValueError(f"merge keys absent from table: {missing}")
         survivors = cur.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
         if deletes is not None:
             survivors = survivors.join(
@@ -320,7 +350,7 @@ class TableStore:
         if sort_within:
             merged = merged.sortWithinPartitions(*sort_within)
         lineage = dict(m.get("lineage") or {})
-        lineage["last_merge"] = {"keys": key_cols, "deletes": deletes is not None}
+        lineage["last_merge"] = lineage_mark
         return self.write(
             name,
             merged,

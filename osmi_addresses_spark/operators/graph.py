@@ -123,9 +123,15 @@ def pagerank(
     lineage is checkpoint-truncated per round exactly as in
     connected_components (same executor-loss caveat and opt-in)."""
     v = vertices.select(F.col(v_col).alias("k")).distinct()
+    # edges referencing vertices outside `vertices` would silently leak
+    # rank mass (their contribution lands on no row of the per-iteration
+    # rebuild) — restrict both endpoints to the declared vertex set so the
+    # documented Σpr = 1 invariant holds unconditionally
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
+        .join(v.select(F.col("k").alias("src")), "src", "left_semi")
+        .join(v.select(F.col("k").alias("dst")), "dst", "left_semi")
         .persist()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()

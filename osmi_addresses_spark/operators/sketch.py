@@ -262,30 +262,28 @@ def bloom_semi_join(
     """Rows of `probe` whose key MIGHT be in `build` (classic Bloom
     semantics: no false negatives; deterministic md5 false positives).
 
-    The set bits (union of the build side's k positions, deduped — at most
-    min(k·|build|, m_bits) rows) are broadcast; membership of all k probe
-    positions is tested by k chained broadcast LEFT SEMI joins, so the
-    probe side never shuffles and nothing is collected to the driver."""
-    reserved = {f"_bloom_p{i}" for i in range(k)}
-    clash = reserved & set(probe.columns)
-    if clash:
-        raise ValueError(f"probe columns collide with bloom helpers: {sorted(clash)}")
+    The filter is materialized the way a Bloom filter is meant to be —
+    as a VALUE, not a relation: ONE distributed pass unions the build
+    side's k position sets, and the ≤ min(k·|build|, m_bits) set bits
+    come back to the driver (bounded by m_bits by construction — 8 KB at
+    the default size). The probe is then a single scan with k `InSet`
+    membership tests (hash-set lookups in codegen): no shuffle, no joins,
+    no repeated build-side computation. Eager on the build side (it runs
+    the one collect when called)."""
+    if m_bits > (1 << 22):
+        raise ValueError("m_bits > 2^22: the bit set is no longer driver-safe")
     bits = None
     for pos in bloom_positions(F.col(build_key), m_bits, k):
         part = build.select(pos.alias("bit"))
         bits = part if bits is None else bits.unionByName(part)
-    bits = bits.distinct()
-    probe_pos = bloom_positions(F.col(probe_key), m_bits, k)
-    out = probe.select(
-        "*", *[p.alias(f"_bloom_p{i}") for i, p in enumerate(probe_pos)]
-    )
-    for i in range(k):
-        out = out.join(
-            F.broadcast(bits.withColumnRenamed("bit", f"_bloom_b{i}")),
-            on=F.col(f"_bloom_p{i}") == F.col(f"_bloom_b{i}"),
-            how="left_semi",
-        )
-    return out.drop(*[f"_bloom_p{i}" for i in range(k)])
+    set_bits = [r["bit"] for r in bits.distinct().collect()]
+    if not set_bits:
+        return probe.filter(F.lit(False))
+    cond = None
+    for pos in bloom_positions(F.col(probe_key), m_bits, k):
+        test = pos.isin(set_bits)
+        cond = test if cond is None else cond & test
+    return probe.filter(cond)
 
 
 def bloom_sql_ctes(

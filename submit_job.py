@@ -114,8 +114,6 @@ def main(argv=None):
     store = TableStore(args.output)
 
     if args.merge_into:
-        import json as _json
-
         updates = spark.read.parquet(args.input)
         deletes = (
             spark.read.parquet(args.merge_deletes) if args.merge_deletes else None
@@ -127,7 +125,7 @@ def main(argv=None):
             args.merge_keys.split(","),
             deletes=deletes,
         )
-        print(_json.dumps({"merged": {args.merge_into: path}}))
+        print(json.dumps({"merged": {args.merge_into: path}}))
         return 0
 
     fmt = args.format

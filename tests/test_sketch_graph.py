@@ -137,11 +137,19 @@ def test_cms_rejects_bad_d(spark):
         cms_counters(df, "v", d=5)
 
 
-def test_bloom_rejects_probe_column_collision(spark):
+def test_bloom_filter_is_a_value_not_a_relation(spark):
+    # the reworked bloom collects the bit set once (≤ m_bits values) and
+    # filters with InSet: arbitrary probe columns (incl. old helper names)
+    # pass through untouched, an empty build matches nothing, and an
+    # oversized m_bits is rejected as not driver-safe
     build = spark.range(3).select(F.col("id").alias("k"))
-    probe = spark.range(3).select(F.col("id").alias("k"), F.lit(1).alias("_bloom_p0"))
-    with pytest.raises(ValueError, match="_bloom_p0"):
-        bloom_semi_join(probe, "k", build, "k")
+    probe = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("_bloom_p0"))
+    out = bloom_semi_join(probe, "k", build, "k")
+    assert out.columns == ["k", "_bloom_p0"]
+    assert {r["k"] for r in out.collect()} >= {0, 1, 2}
+    assert bloom_semi_join(probe, "k", build.filter("k < 0"), "k").count() == 0
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_semi_join(probe, "k", build, "k", m_bits=1 << 23)
 
 
 def test_weighted_sample_favors_heavy_docs(spark):
@@ -274,3 +282,21 @@ def test_embed_quantize_invariants(spark, tmp_path):
     # only dim0+dim2 rounding — sanity: the minimum vector's dim0 code is 0
     # so q_sum for vec 0 is 0 + 0 + 0 (dim2: 0 % 3 == 0 → min → code 0)
     assert out[0]["q_sum"] == 0
+
+
+def test_pagerank_conserves_mass_with_external_edges(spark):
+    # edges referencing vertices outside the declared set are dropped (both
+    # endpoints restricted), so Σpr stays 1 instead of leaking
+    v = spark.createDataFrame([(0,), (1,)], ["v"])
+    e = spark.createDataFrame([(0, 1), (0, 99), (98, 1)], ["src", "dst"])
+    got = {r["v"]: r["pr"] for r in pagerank(v, e, iters=4).collect()}
+    assert set(got) == {0, 1}
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-12)
+    # identical to the graph with only the in-set edge
+    want = {
+        r["v"]: r["pr"]
+        for r in pagerank(
+            v, spark.createDataFrame([(0, 1)], ["src", "dst"]), iters=4
+        ).collect()
+    }
+    assert got == want

@@ -244,3 +244,24 @@ def test_merge_carries_partitioning_and_options(spark, tmp_path):
     assert any(p.startswith("part=") for p in m["partitions"])
     got = {r["v"] for r in store.read(spark, "t").filter("k = 1").collect()}
     assert got == {999}
+
+
+def test_merge_rejects_bad_updates(spark, tmp_path):
+    import pytest
+
+    store = TableStore(str(tmp_path / "wh"))
+    store.write("t", spark.createDataFrame([(1, "a")], ["k", "name"]))
+    with pytest.raises(ValueError, match="duplicate"):
+        store.merge(
+            spark, "t",
+            spark.createDataFrame([(2, "b"), (2, "c")], ["k", "name"]), ["k"],
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        store.merge(
+            spark, "t",
+            spark.createDataFrame([(None, "b")], "k int, name string"), ["k"],
+        )
+    # first-write degenerate path records the merge lineage too
+    store.merge(spark, "fresh2", spark.createDataFrame([(1, "a")], ["k", "name"]), ["k"])
+    m = store.manifest("fresh2")
+    assert m["lineage"]["last_merge"] == {"keys": ["k"], "deletes": False}
