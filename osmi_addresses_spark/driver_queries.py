@@ -1881,6 +1881,8 @@ def all_queries():
         "event_cumulative_users": q_cumulative_users,
         "heavy_hitters_stream": q_cms_stream,
         "text_curation_pipeline": t_curation_pipeline,
+        "event_markov_transitions": q_markov_transitions,
+        "market_basket": q_market_basket,
     }
     return qs
 
@@ -1971,6 +1973,8 @@ def all_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "event_cumulative_users": SQL_CUMULATIVE_USERS,
         "heavy_hitters_stream": sql_cms_stream(),
         "text_curation_pipeline": sql_curation_pipeline(),
+        "event_markov_transitions": SQL_MARKOV_TRANSITIONS,
+        "market_basket": sql_market_basket(),
     }
 
 
@@ -4421,4 +4425,99 @@ FROM raw_c r
 LEFT JOIN ded_c d USING (lang)
 LEFT JOIN qua_c q USING (lang)
 LEFT JOIN sam_c s USING (lang)
+"""
+
+
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    sequence (ordered by ts, event_id tiebreak): counts and exact integer
+    micro-probabilities per (from, to) event-type pair. The path-analysis
+    primitive behind "what do users do next"; one per-user window (lag) +
+    two map-side-combined aggs, all integers."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    pair = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    outc = steps.groupBy("from_type").agg(F.count(F.lit(1)).alias("n_from"))
+    return pair.join(outc, "from_type").select(
+        "from_type", "to_type", "n_pair", "n_from",
+        F.expr("n_pair * 1000000 div n_from").alias("p_micro"),
+    )
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH steps AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+  FROM events
+), flt AS (
+  SELECT * FROM steps WHERE from_type IS NOT NULL
+), pair AS (
+  SELECT from_type, to_type, COUNT(*) AS n_pair FROM flt GROUP BY 1, 2
+), outc AS (
+  SELECT from_type, COUNT(*) AS n_from FROM flt GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n_pair, o.n_from,
+       CAST(p.n_pair * 1000000 // o.n_from AS BIGINT) AS p_micro
+FROM pair p JOIN outc o USING (from_type)
+"""
+
+
+def q_market_basket(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, with support counts and integer micro-lift
+    (lift = N·n_ab / (n_a·n_b), carried as 1e6·… div …). The frequent-
+    itemset primitive; the pair self-join is keyed on l_orderkey (small
+    per-order item lists bound the blowup), everything else is counting.
+    Pairs with support < 2 are cut to keep the output meaningful."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = _t(spark, sf_dir, "orders").select("o_orderkey").distinct().count()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    ca = cnt.select(F.col("l_partkey").alias("pa"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("l_partkey").alias("pb"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .select(
+            "pa", "pb", "n_ab", "n_a", "n_b",
+            F.expr(f"n_ab * {n_orders}L * 1000000L div (n_a * n_b)").alias(
+                "lift_micro"
+            ),
+        )
+    )
+
+
+def sql_market_basket() -> str:
+    return """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), n_orders AS (
+  SELECT COUNT(DISTINCT o_orderkey) AS n FROM orders
+), pairs AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_ab
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), cnt AS (
+  SELECT p, COUNT(*) AS n FROM li GROUP BY 1
+)
+SELECT pr.pa, pr.pb, pr.n_ab, ca.n AS n_a, cb.n AS n_b,
+       CAST(pr.n_ab * no.n * 1000000 // (ca.n * cb.n) AS BIGINT) AS lift_micro
+FROM pairs pr
+JOIN cnt ca ON ca.p = pr.pa
+JOIN cnt cb ON cb.p = pr.pb
+CROSS JOIN n_orders no
 """
